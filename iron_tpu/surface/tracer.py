@@ -1,0 +1,168 @@
+"""Fixed-shape masked sphere tracer with dense-sampling fallback and
+bisection root refinement.
+
+Behavioral spec from reference `models/raytracer.py:27-220` (RayTracer):
+  * sphere_tracing: up to 16 iterations, step = SDF value, a ray is
+    finished when |sdf| <= 5e-5 or it left [min_dis, max_dis]; convergent
+    = finished inside the interval with small |sdf| (raytracer.py:105-140);
+  * rays not converged by sphere tracing fall back to 128 uniform samples
+    over the remaining interval; the first positive->negative sign
+    transition is found with the sign * reversed-arange argmin trick
+    (raytracer.py:142-197);
+  * the bracketing segment is refined by bisection until the bracket is
+    smaller than 2 * sdf_threshold (raytracer.py:199-220).
+
+TPU-first: where the reference physically compacts rays with boolean
+indexing, every step here runs on the full fixed-shape ray tile under a
+live mask (`jnp.where`) — the XLA-friendly formulation.  Loops are
+`lax.while_loop`s whose predicates include `jnp.any(active)`, so converged
+tiles still early-exit in wall-clock terms.  The whole tracer runs under
+`stop_gradient` semantics by construction (no parameters are touched);
+gradients re-enter only via `reparam_points`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class TracerConfig:
+    sdf_threshold: float = 5.0e-5
+    sphere_tracing_iters: int = 16
+    n_steps: int = 128          # dense fallback samples
+    max_bisection_iters: int = 24
+
+
+def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
+                 cfg: TracerConfig = TracerConfig()):
+    """Masked sphere tracing (raytracer.py:105-140).
+
+    Returns (convergent_mask, unfinished_mask, points, sdf, distance), all
+    full-shape [...].
+    """
+    acc_dis = min_dis
+    pts = ray_o + ray_d * acc_dis[..., None]
+    sdf_val = sdf_fn(pts)
+
+    def unfinished(mask, s, d):
+        return mask & (jnp.abs(s) > cfg.sdf_threshold) & (d < max_dis)
+
+    def cond(carry):
+        i, active, acc, s = carry
+        return (i < cfg.sphere_tracing_iters) & jnp.any(active)
+
+    def body(carry):
+        i, active, acc, s = carry
+        step = jnp.where(active, s, 0.0)
+        acc_new = acc + step
+        pts_new = ray_o + ray_d * acc_new[..., None]
+        s_new = jnp.where(active, sdf_fn(pts_new), s)
+        active_new = unfinished(active, s_new, acc_new)
+        return i + 1, active_new, acc_new, s_new
+
+    active0 = unfinished(work_mask, sdf_val, acc_dis)
+    _, active, acc_dis, sdf_val = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), active0, acc_dis, sdf_val))
+
+    pts = ray_o + ray_d * acc_dis[..., None]
+    convergent = (work_mask & ~active
+                  & (jnp.abs(sdf_val) <= cfg.sdf_threshold)
+                  & (acc_dis < max_dis))
+    return convergent, active, pts, sdf_val, acc_dis
+
+
+def ray_sampler(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
+                cfg: TracerConfig = TracerConfig()):
+    """Dense fallback sampling + first-sign-flip bracket (raytracer.py:142-197).
+
+    Runs on the full tile; `work_mask` gates which rays matter.  Returns
+    (rootfind_mask, points, sdf, distance).
+    """
+    t = jnp.linspace(0.0, 1.0, cfg.n_steps)
+    intervals = min_dis[..., None] + t * (max_dis - min_dis)[..., None]  # [..., S]
+    pts = ray_o[..., None, :] + ray_d[..., None, :] * intervals[..., None]
+    sdf_val = sdf_fn(pts)  # [..., S]
+
+    # first index whose sdf is negative: sign * reversed arange, argmin
+    rev = jnp.arange(cfg.n_steps, 0, -1, dtype=sdf_val.dtype)
+    tmp = jnp.sign(sdf_val) * rev
+    min_val = jnp.min(tmp, axis=-1)
+    min_idx = jnp.argmin(tmp, axis=-1)
+    rootfind_mask = work_mask & (min_val < 0.0) & (min_idx >= 1)
+
+    idx = jnp.clip(min_idx, 1, cfg.n_steps - 1)
+    z_low = jnp.take_along_axis(intervals, (idx - 1)[..., None], axis=-1)[..., 0]
+    z_high = jnp.take_along_axis(intervals, idx[..., None], axis=-1)[..., 0]
+    f_low = jnp.take_along_axis(sdf_val, (idx - 1)[..., None], axis=-1)[..., 0]
+    f_high = jnp.take_along_axis(sdf_val, idx[..., None], axis=-1)[..., 0]
+
+    p_pred, z_pred, f_pred = bisection(sdf_fn, f_low, f_high, z_low, z_high,
+                                       ray_o, ray_d, rootfind_mask, cfg)
+    return rootfind_mask, p_pred, f_pred, z_pred
+
+
+def bisection(sdf_fn: Callable, f_low, f_high, d_low, d_high, ray_o, ray_d,
+              work_mask, cfg: TracerConfig = TracerConfig()):
+    """Masked bisection until bracket < 2*threshold (raytracer.py:199-220)."""
+    work = work_mask & (f_low > 0) & (f_high < 0)
+
+    def cond(carry):
+        i, w, dl, dh, fl, fh = carry
+        return (i < cfg.max_bisection_iters) & jnp.any(w)
+
+    def body(carry):
+        i, w, dl, dh, fl, fh = carry
+        d_mid = 0.5 * (dl + dh)
+        p_mid = ray_o + ray_d * d_mid[..., None]
+        f_mid = sdf_fn(p_mid)
+        go_low = f_mid > 0
+        dl = jnp.where(w & go_low, d_mid, dl)
+        fl = jnp.where(w & go_low, f_mid, fl)
+        dh = jnp.where(w & ~go_low, d_mid, dh)
+        fh = jnp.where(w & ~go_low, f_mid, fh)
+        w = w & ((dh - dl) > 2 * cfg.sdf_threshold)
+        return i + 1, w, dl, dh, fl, fh
+
+    _, _, d_low, d_high, f_low, f_high = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), work, d_low, d_high, f_low, f_high))
+
+    d_mid = 0.5 * (d_low + d_high)
+    p_mid = ray_o + ray_d * d_mid[..., None]
+    f_mid = sdf_fn(p_mid)
+    return p_mid, d_mid, f_mid
+
+
+def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
+             cfg: TracerConfig = TracerConfig()) -> Dict[str, jnp.ndarray]:
+    """Full root finder = sphere trace -> fallback sampler (raytracer.py:45-103).
+
+    Returns dict with full-shape convergent_mask / points / sdf / distance.
+    """
+    (convergent, unfinished, pts, sdf_val, acc_dis) = sphere_trace(
+        sdf_fn, ray_o, ray_d, min_dis, max_dis, work_mask, cfg)
+
+    # fallback interval: if overshoot (sdf > 0) search [acc, max];
+    # if we jumped inside (sdf < 0) search [min, acc]  (raytracer.py:59-65)
+    went_positive = sdf_val > 0.0
+    samp_min = jnp.where(went_positive, acc_dis, min_dis)
+    samp_max = jnp.where(went_positive, max_dis, acc_dis)
+
+    samp_conv, samp_pts, samp_sdf, samp_dis = ray_sampler(
+        sdf_fn, ray_o, ray_d, samp_min, samp_max, unfinished, cfg)
+
+    use_samp = unfinished
+    convergent = jnp.where(use_samp, samp_conv, convergent)
+    pts = jnp.where(use_samp[..., None], samp_pts, pts)
+    sdf_val = jnp.where(use_samp, samp_sdf, sdf_val)
+    acc_dis = jnp.where(use_samp, samp_dis, acc_dis)
+
+    return {
+        "convergent_mask": convergent,
+        "points": pts,
+        "sdf": sdf_val,
+        "distance": acc_dis,
+    }

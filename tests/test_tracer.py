@@ -1,0 +1,97 @@
+"""Sphere tracer tests on analytic SDFs — the reference never does this but
+it is the right primitive (SURVEY.md §4)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.surface import TracerConfig, sphere_trace, raytrace, reparam_points
+from iron_tpu.core import intersect_sphere
+
+
+def sphere_sdf(r):
+    return lambda p: jnp.linalg.norm(p, axis=-1) - r
+
+
+def box_sdf(b):
+    def f(p):
+        q = jnp.abs(p) - b
+        outside = jnp.linalg.norm(jnp.clip(q, 0.0), axis=-1)
+        inside = jnp.clip(jnp.max(q, axis=-1), None, 0.0)
+        return outside + inside
+    return f
+
+
+def _rays_towards_origin(n=64, radius=3.0, seed=0, jitter=0.0):
+    g = np.random.default_rng(seed)
+    d = g.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ray_o = (radius * d).astype(np.float32)
+    target = (g.normal(size=(n, 3)) * jitter).astype(np.float32)
+    rd = target - ray_o
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return jnp.asarray(ray_o), jnp.asarray(rd.astype(np.float32))
+
+
+def test_sphere_trace_exact_distance():
+    r = 0.5
+    ray_o, ray_d = _rays_towards_origin(64)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    res = raytrace(sphere_sdf(r), ray_o, ray_d, near, far, mask)
+    assert bool(jnp.all(res["convergent_mask"]))
+    np.testing.assert_allclose(np.asarray(res["distance"]), 3.0 - r, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(res["points"], axis=-1)),
+                               r, atol=1e-4)
+    assert float(jnp.max(jnp.abs(res["sdf"]))) <= 5.1e-5
+
+
+def test_trace_miss_rays_not_convergent():
+    """Rays that graze past the surface must not report convergence."""
+    r = 0.3
+    # rays offset to miss the sphere of radius .3 but hit the unit sphere
+    ray_o = jnp.asarray([[3.0, 0.6, 0.0]], jnp.float32)
+    ray_d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    res = raytrace(sphere_sdf(r), ray_o, ray_d, near, far, mask)
+    assert not bool(res["convergent_mask"][0])
+
+
+def test_fallback_sampler_catches_thin_feature():
+    """A thin box seen edge-on defeats pure sphere tracing steps but the
+    dense fallback + bisection must still find the root."""
+    f = box_sdf(jnp.asarray([0.02, 0.5, 0.5]))
+    ray_o = jnp.asarray([[3.0, 0.2, 0.1]], jnp.float32)
+    ray_d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    res = raytrace(f, ray_o, ray_d, near, far, mask)
+    assert bool(res["convergent_mask"][0])
+    np.testing.assert_allclose(float(res["points"][0, 0]), 0.02, atol=1e-3)
+
+
+def test_trace_under_jit():
+    r = 0.5
+    ray_o, ray_d = _rays_towards_origin(32)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    fn = jax.jit(lambda o, d, m, n, fr: raytrace(sphere_sdf(r), o, d, n, fr, m))
+    res = fn(ray_o, ray_d, mask, near, far)
+    assert bool(jnp.all(res["convergent_mask"]))
+
+
+def test_reparam_gradient_matches_implicit_function():
+    """d(hit distance)/d(radius) for a sphere is -1 along the ray: moving the
+    surface out by dr moves the hit point toward the camera by dr."""
+    ray_o = jnp.asarray([[3.0, 0.0, 0.0]], jnp.float32)
+    ray_d = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+
+    def hit_x(radius):
+        sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - radius
+        res = raytrace(sdf_fn, ray_o, ray_d, near, far, mask)
+        pts = jax.lax.stop_gradient(res["points"])
+        grads = jax.lax.stop_gradient(pts / jnp.linalg.norm(pts, axis=-1, keepdims=True))
+        sdf_diff = (jnp.linalg.norm(pts, axis=-1, keepdims=True) - radius)
+        p_diff = reparam_points(pts, grads, -ray_d, sdf_diff)
+        return p_diff[0, 0]
+
+    g = jax.grad(hit_x)(jnp.asarray(0.5))
+    np.testing.assert_allclose(float(g), 1.0, atol=1e-3)  # x of hit pt = radius
