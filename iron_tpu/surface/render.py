@@ -1,0 +1,283 @@
+"""Full surface rendering pipeline: camera trace -> hole filling -> edge
+location -> shading -> budgeted edge compositing.
+
+Behavioral spec from reference `models/raytracer.py:367-814`
+(raytrace_pixels / raytrace_camera / locate_edge_points /
+render_normal_and_color / render_edge_pixels / render_camera):
+
+  pipeline = trace all pixels (no grad)
+           -> depth closing fills pinholes (raytracer.py:554-564)
+           -> depth-sobel seeds a surface walk to silhouette points
+              (raytracer.py:566-585, 422-539)
+           -> one-candidate-per-pixel dedupe
+           -> shade convergent pixels through the user shade_fn with
+              implicit-function reparam (raytracer.py:593-662)
+           -> per-edge-pixel two-sided trace+shade, composited by
+              circle-coverage weight (raytracer.py:665-775).
+
+TPU-first redesign (SURVEY.md §7.4):
+  * No boolean compaction anywhere: the tracer and shader run on full
+    [H*W] tiles under masks.
+  * The edge pipeline has a **static edge budget** K: seed pixels are
+    brought to the front with an argsort-by-mask (stable), the walk +
+    two-sided tracing then run on exactly K candidates.  Candidate counts
+    beyond K are dropped (the reference would process all, but edges are
+    sparse: a 128x128 crop has a few hundred).
+  * Dedupe keeps the first candidate per pixel via scatter-min of the
+    candidate index — same tie-break as the reference's flip-scatter
+    `unique` (raytracer.py:412-419).
+  * The whole pipeline is one jittable function; trace outputs are
+    stop_gradient'ed (the reference traces under torch.no_grad) and
+    gradients re-enter through `reparam_points` only.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.core.camera import Camera, camera_origin, get_rays, pixel_grid, project
+from iron_tpu.core.rays import intersect_sphere
+from iron_tpu.surface.tracer import TracerConfig, raytrace
+from iron_tpu.surface.reparam import reparam_points
+from iron_tpu.surface.morphology import closing3x3, sobel_magnitude
+
+
+@dataclass(frozen=True)
+class SurfaceRenderConfig:
+    tracer: TracerConfig = field(default_factory=TracerConfig)
+    fill_holes: bool = True
+    handle_edges: bool = True
+    edge_budget: int = 1024          # static max edge candidates per render
+    edge_walk_steps: int = 16        # raytracer.py:578 max_step
+    edge_step_size: float = 1e-3     # raytracer.py:579
+    edge_dot_threshold: float = 5e-2  # raytracer.py:580
+    depth_edge_threshold: float = 1e-2  # raytracer.py:570
+    hole_depth_threshold: float = 1e-2  # raytracer.py:558
+
+
+def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
+                    mask: Optional[jnp.ndarray] = None,
+                    cfg: SurfaceRenderConfig = SurfaceRenderConfig()) -> Dict:
+    """Trace rays through pixel coords uv [..., 2] (raytracer.py:367-409)."""
+    ray_o, ray_d, ray_d_norm = get_rays(cam, uv)
+    mask_int, min_dis, max_dis = intersect_sphere(ray_o, ray_d, r=1.0)
+    work = mask_int if mask is None else (mask_int & mask)
+    res = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, cfg.tracer)
+    res = jax.tree_util.tree_map(jax.lax.stop_gradient, res)
+    res["depth"] = res["distance"] / ray_d_norm
+    res.update({"uv": uv, "ray_o": ray_o, "ray_d": ray_d, "ray_d_norm": ray_d_norm})
+    return res
+
+
+def _select_topk_mask(flat_mask: jnp.ndarray, k: int):
+    """Bring True entries of flat_mask to the front (stable) and take k.
+
+    Returns (indices [k], valid [k]) — the fixed-budget worklist."""
+    order = jnp.argsort(jnp.where(flat_mask, 0, 1), stable=True)
+    sel = order[:k]
+    return sel, flat_mask[sel]
+
+
+def locate_edge_points(sdf_all_fn, cam: Camera, start_points: jnp.ndarray,
+                       seed_valid: jnp.ndarray,
+                       cfg: SurfaceRenderConfig) -> Dict:
+    """Walk K seed points along the surface to the silhouette
+    (raytracer.py:422-539), masked & fixed-shape.
+
+    start_points [K,3]; seed_valid [K].  Returns per-candidate
+    found-mask, walked points, and their projections.
+    """
+    cam_o = camera_origin(cam)
+
+    def step(i, carry):
+        pts, found = carry
+        viewdir = cam_o - pts
+        viewdir = viewdir / (jnp.linalg.norm(viewdir, axis=-1, keepdims=True) + 1e-10)
+        sdf, _, grad = sdf_all_fn(pts)
+        normal = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+        dot = jnp.sum(normal * viewdir, axis=-1)
+        now_found = jnp.abs(dot) <= cfg.edge_dot_threshold
+        found = found | now_found
+        walkdir = normal - viewdir / dot[..., None]
+        walkdir = walkdir / (jnp.linalg.norm(walkdir, axis=-1, keepdims=True) + 1e-10)
+        walkdir = walkdir - sdf[..., None] * normal
+        active = seed_valid & ~found
+        pts = jnp.where(active[..., None], pts + cfg.edge_step_size * walkdir, pts)
+        return pts, found
+
+    pts, found = jax.lax.fori_loop(
+        0, cfg.edge_walk_steps, step,
+        (start_points, jnp.zeros(start_points.shape[:1], bool)))
+    # final convergence check (the reference re-tests after the last step)
+    viewdir = cam_o - pts
+    viewdir = viewdir / (jnp.linalg.norm(viewdir, axis=-1, keepdims=True) + 1e-10)
+    _, _, grad = sdf_all_fn(pts)
+    normal = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+    found = found | (jnp.abs(jnp.sum(normal * viewdir, axis=-1)) <= cfg.edge_dot_threshold)
+    found = found & seed_valid
+
+    pts = jax.lax.stop_gradient(pts)
+    uv = project(cam, pts)
+    return {"walk_points": pts, "walk_found": found, "walk_uv": uv}
+
+
+def _dedupe_per_pixel(cam: Camera, walk: Dict) -> Dict:
+    """One candidate per pixel, keeping the first (raytracer.py:487-503)."""
+    H, W = cam.H, cam.W
+    K = walk["walk_points"].shape[0]
+    pix = jnp.floor(walk["walk_uv"]).astype(jnp.int32)
+    pid = pix[:, 1] * W + pix[:, 0]
+    valid = walk["walk_found"] & (pid >= 0) & (pid < H * W)
+    slot_idx = jnp.where(valid, pid, H * W)  # overflow slot for invalid
+    BIG = jnp.iinfo(jnp.int32).max
+    slots = jnp.full((H * W + 1,), BIG, jnp.int32)
+    slots = slots.at[slot_idx].min(jnp.arange(K, dtype=jnp.int32))
+    kept = valid & (slots[slot_idx] == jnp.arange(K, dtype=jnp.int32))
+    # overflow-slot writes land at index H*W and are sliced off
+    edge_mask = jnp.zeros((H * W + 1,), bool).at[slot_idx].max(kept)[:H * W]
+    return {"edge_kept": kept, "edge_pid": pid, "edge_mask_flat": edge_mask}
+
+
+def shade_masked(sdf_all_fn, shade_fn, ray_o, ray_d, points, mask,
+                 is_training: bool) -> Dict:
+    """render_normal_and_color equivalent (raytracer.py:593-662): fresh
+    SDF forward (grad on), reparam in training, user shading, all masked."""
+    sdf, feature, grad = sdf_all_fn(points)
+    if is_training:
+        points = reparam_points(points, jax.lax.stop_gradient(grad),
+                                jax.lax.stop_gradient(-ray_d), sdf[..., None])
+    else:
+        sdf, feature, grad = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, (sdf, feature, grad))
+    out = shade_fn(ray_o, ray_d, points, grad, feature)
+    m = mask[..., None]
+    masked = {}
+    for k, v in out.items():
+        if v.ndim == mask.ndim:
+            masked[k] = jnp.where(mask, v, 0.0)
+        else:
+            masked[k] = jnp.where(m, v, 0.0)
+    # unnormalized gradient is reported as "normal" for the eikonal term
+    # (raytracer.py:715 writes edge_grads; shading normals stay normalized)
+    masked["raw_grad"] = jnp.where(m, grad, 0.0)
+    return masked
+
+
+def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
+                  cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
+                  is_training: bool = False) -> Dict:
+    """Top-level surface render (raytracer.py:778-814), jittable.
+
+    sdf_fn:     pts [..., 3] -> sdf [...]
+    sdf_all_fn: pts [..., 3] -> (sdf, feat, grad)
+    shade_fn:   (ray_o, ray_d, points, normals, features) -> dict of buffers
+    Returns [H, W, ...] image buffers + edge diagnostics.
+    """
+    H, W = cam.H, cam.W
+    uv = pixel_grid(H, W)
+    res = raytrace_pixels(sdf_fn, cam, uv, cfg=cfg)
+    res["depth"] = res["depth"] * res["convergent_mask"]
+
+    if cfg.fill_holes:
+        depth = closing3x3(res["depth"])
+        new_conv = depth > cfg.hole_depth_threshold
+        update = new_conv & (~res["convergent_mask"])
+        res["depth"] = jnp.where(update, depth, res["depth"])
+        res["convergent_mask"] = res["convergent_mask"] | new_conv
+        res["distance"] = jnp.where(update, res["depth"] * res["ray_d_norm"], res["distance"])
+        res["points"] = jnp.where(update[..., None],
+                                  res["ray_o"] + res["ray_d"] * res["distance"][..., None],
+                                  res["points"])
+
+    edge = None
+    if cfg.handle_edges:
+        grad_mag = sobel_magnitude(res["depth"])
+        depth_edge_mask = (grad_mag > cfg.depth_edge_threshold) & res["convergent_mask"]
+        sel, seed_valid = _select_topk_mask(depth_edge_mask.reshape(-1), cfg.edge_budget)
+        seeds = res["points"].reshape(-1, 3)[sel]
+        nograd_all = lambda p: jax.tree_util.tree_map(
+            jax.lax.stop_gradient, sdf_all_fn(p))
+        walk = locate_edge_points(nograd_all, cam, seeds, seed_valid, cfg)
+        dd = _dedupe_per_pixel(cam, walk)
+        edge = {**walk, **dd}
+        res["edge_mask"] = dd["edge_mask_flat"].reshape(H, W)
+        res["convergent_mask"] = res["convergent_mask"] & ~res["edge_mask"]
+    else:
+        res["edge_mask"] = jnp.zeros((H, W), bool)
+
+    # ---- interior shading ----
+    shaded = shade_masked(sdf_all_fn, shade_fn,
+                          res["ray_o"], res["ray_d"], res["points"],
+                          res["convergent_mask"], is_training)
+    res.update(shaded)
+
+    # ---- edge pixels (raytracer.py:665-775) ----
+    if cfg.handle_edges:
+        kept = edge["edge_kept"]
+        epts = edge["walk_points"]
+        pid = jnp.clip(edge["edge_pid"], 0, H * W - 1)
+
+        e_sdf, _, e_grad = sdf_all_fn(epts)
+        e_grad_sg = jax.lax.stop_gradient(e_grad)
+        e_normal = e_grad_sg / (jnp.linalg.norm(e_grad_sg, axis=-1, keepdims=True) + 1e-10)
+        if is_training:
+            epts_diff = reparam_points(epts, e_grad_sg, e_normal, e_sdf[..., None])
+            edge_uv = project(cam, epts_diff)  # differentiable silhouette path
+        else:
+            edge_uv = jax.lax.stop_gradient(edge["walk_uv"])
+        pixel_center = jnp.floor(jax.lax.stop_gradient(edge_uv)) + 0.5
+
+        n2d = jnp.dot(e_normal, cam.W2C[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST)[:, :2]
+        n2d = n2d / (jnp.linalg.norm(n2d, axis=-1, keepdims=True) + 1e-10)
+
+        pixel_radius = 0.707
+        pos_uv = pixel_center - pixel_radius * n2d
+        neg_uv = pixel_center + pixel_radius * n2d
+        dot2d = jnp.sum((edge_uv - pixel_center) * n2d, axis=-1)
+        ang = 2.0 * jnp.arccos(jnp.clip(dot2d / pixel_radius, 0.0, 1.0))
+        pos_w = 1.0 - (ang - jnp.sin(ang)) / (2.0 * jnp.pi)
+
+        def side(uv_side):
+            r = raytrace_pixels(sdf_fn, cam, uv_side, mask=kept, cfg=cfg)
+            s = shade_masked(sdf_all_fn, shade_fn, r["ray_o"], r["ray_d"],
+                             r["points"], r["convergent_mask"] & kept, is_training)
+            return r, s
+
+        pos_res, pos_shade = side(pos_uv)
+        neg_res, neg_shade = side(neg_uv)
+
+        edge_color = (pos_shade["color"] * pos_w[..., None]
+                      + neg_shade["color"] * (1.0 - pos_w[..., None]))
+
+        # scatter edge results into the image (raytracer.py:713-729);
+        # non-kept candidates are routed to an overflow row and sliced off
+        def scatter(img_flat, vals, extra_mask=None):
+            m = kept if extra_mask is None else (kept & extra_mask)
+            safe = jnp.where(m, pid, H * W)
+            pad_shape = (1,) + img_flat.shape[1:]
+            buf = jnp.concatenate([img_flat, jnp.zeros(pad_shape, img_flat.dtype)], 0)
+            buf = buf.at[safe].set(vals)
+            return buf[:H * W]
+
+        color_flat = res["color"].reshape(H * W, 3)
+        res["color"] = scatter(color_flat, edge_color).reshape(H, W, 3)
+        normal_flat = res["normal"].reshape(H * W, 3)
+        res["normal"] = scatter(normal_flat, e_grad).reshape(H, W, 3)
+        raw_flat = res["raw_grad"].reshape(H * W, 3)
+        res["raw_grad"] = scatter(raw_flat, e_grad).reshape(H, W, 3)
+
+        res["edge_pos_neg_normal"] = jnp.concatenate(
+            [pos_shade["raw_grad"], neg_shade["raw_grad"]], axis=0)
+        res["edge_pos_neg_mask"] = jnp.concatenate(
+            [pos_res["convergent_mask"] & kept, neg_res["convergent_mask"] & kept], axis=0)
+        res["edge_uv"] = edge_uv
+        res["edge_points"] = epts
+        res["edge_kept"] = kept
+        res["edge_pos_weight"] = pos_w
+
+    return res

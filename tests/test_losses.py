@@ -1,0 +1,86 @@
+"""Loss tests: oracle parity for pyramid L2 / SSIM + analytic sanity."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iron_tpu.losses import (pyramid_l2_loss, ssim_loss, psnr, eikonal_loss,
+                             roughness_range_loss, mask_bce_loss)
+from conftest import has_reference
+
+need_ref = pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+
+
+def test_ssim_identity_is_zero():
+    g = np.random.default_rng(0)
+    x = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    assert abs(float(ssim_loss(jnp.asarray(x), jnp.asarray(x)))) < 1e-5
+
+
+def test_ssim_masked_identity():
+    g = np.random.default_rng(0)
+    x = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    mask = np.zeros((1, 1, 64, 64), bool)
+    mask[:, :, 16:48, 16:48] = True
+    assert abs(float(ssim_loss(jnp.asarray(x), jnp.asarray(x), jnp.asarray(mask)))) < 1e-5
+
+
+def test_pyramid_l2_zero_for_identical():
+    g = np.random.default_rng(0)
+    x = g.uniform(size=(1, 3, 32, 32)).astype(np.float32)
+    assert float(pyramid_l2_loss(jnp.asarray(x), jnp.asarray(x))) == 0.0
+
+
+def test_psnr_known_value():
+    x = jnp.zeros((4, 4, 3))
+    y = jnp.full((4, 4, 3), 0.1)
+    np.testing.assert_allclose(float(psnr(x, y)), 20.0, atol=1e-3)
+
+
+@need_ref
+def test_pyramid_l2_parity():
+    from oracle import import_reference
+    import_reference()
+    import torch
+    from models.image_losses import PyramidL2Loss
+
+    g = np.random.default_rng(1)
+    a = g.uniform(size=(1, 3, 128, 128)).astype(np.float32)
+    b = g.uniform(size=(1, 3, 128, 128)).astype(np.float32)
+    ref_loss = PyramidL2Loss(use_cuda=False)(torch.from_numpy(a), torch.from_numpy(b))
+    ours = float(pyramid_l2_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, float(ref_loss), rtol=2e-4)
+
+
+@need_ref
+def test_ssim_parity_unmasked():
+    from oracle import import_reference
+    import_reference()
+    import torch
+    from models.image_losses import ssim_loss_fn
+
+    g = np.random.default_rng(2)
+    a = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    b = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    ref = float(ssim_loss_fn(torch.from_numpy(a), torch.from_numpy(b)))
+    ours = float(ssim_loss(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_eikonal_loss_unit_gradients():
+    g = np.random.default_rng(0).normal(size=(32, 3))
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    s, cnt = eikonal_loss(jnp.asarray(g))
+    assert float(s) < 1e-10 and cnt == 32
+
+
+def test_roughness_range_loss():
+    rough = jnp.asarray([0.2, 0.6, 0.8])
+    mask = jnp.asarray([True, True, True])
+    val = float(roughness_range_loss(rough, mask, 0.5))
+    np.testing.assert_allclose(val, (0.1 + 0.3) / 2, atol=1e-6)
+
+
+def test_mask_bce():
+    w = jnp.asarray([[0.999], [0.001]])
+    m = jnp.asarray([[1.0], [0.0]])
+    assert float(mask_bce_loss(w, m)) < 0.01

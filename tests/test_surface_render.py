@@ -1,0 +1,113 @@
+"""End-to-end surface render tests on an analytic sphere SDF."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.core.camera import make_camera
+from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
+from iron_tpu.surface.tracer import TracerConfig
+
+
+def _cam(H=64, W=64, f=80.0, z=3.0):
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = f
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    W2C = np.eye(4, dtype=np.float32)
+    W2C[2, 3] = -z  # camera at world z=+3 looking along +z?  rays enter -z
+    # flip so camera looks toward origin: R maps world +z to camera -z
+    W2C[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    W2C[2, 3] = z
+    return make_camera(K, W2C, H, W)
+
+
+def _sphere_fns(radius):
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - radius
+
+    def sdf_all_fn(p):
+        n = jnp.linalg.norm(p, axis=-1)
+        v = n - radius
+        g = p / (n[..., None] + 1e-9)
+        return v, jnp.zeros(p.shape[:-1] + (4,)), g
+
+    return sdf_fn, sdf_all_fn
+
+
+def _const_shade(color=(0.8, 0.4, 0.2)):
+    c = jnp.asarray(color)
+
+    def shade_fn(ray_o, ray_d, points, normals, features):
+        n = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-10)
+        col = jnp.broadcast_to(c, points.shape[:-1] + (3,))
+        return {"color": col, "normal": n}
+
+    return shade_fn
+
+
+def test_render_camera_sphere_silhouette():
+    cam = _cam()
+    sdf_fn, sdf_all_fn = _sphere_fns(0.5)
+    cfg = SurfaceRenderConfig(edge_budget=512)
+    res = jax.jit(lambda: render_camera(sdf_fn, sdf_all_fn, _const_shade(), cam, cfg,
+                                        is_training=False))()
+    conv = np.asarray(res["convergent_mask"])
+    # expected silhouette: pixels whose ray passes within r of center.
+    # r=0.5 at distance 3, f=80 -> screen radius ~ f * r / sqrt(z^2-r^2) ~ 13.5 px
+    frac = conv.mean()
+    expected_frac = np.pi * 13.5 ** 2 / (64 * 64)
+    assert abs(frac - expected_frac) < 0.05
+    # center pixel hits the sphere and gets the shade color
+    assert conv[32, 32]
+    np.testing.assert_allclose(np.asarray(res["color"][32, 32]), [0.8, 0.4, 0.2], atol=1e-5)
+    # background stays black
+    assert float(jnp.abs(res["color"][0, 0]).max()) == 0.0
+
+
+def test_render_camera_edges_on_silhouette():
+    cam = _cam()
+    sdf_fn, sdf_all_fn = _sphere_fns(0.5)
+    cfg = SurfaceRenderConfig(edge_budget=512)
+    res = render_camera(sdf_fn, sdf_all_fn, _const_shade(), cam, cfg, is_training=False)
+    em = np.asarray(res["edge_mask"])
+    assert em.sum() > 10  # a ring of edge pixels exists
+    # edge pixels sit near the silhouette circle (screen radius ~13.5)
+    ys, xs = np.nonzero(em)
+    rad = np.sqrt((ys - 32) ** 2 + (xs - 32) ** 2)
+    assert np.all(np.abs(rad - 13.5) < 3.0)
+    # edge colors are a fractional blend of object and background
+    cols = np.asarray(res["color"]).reshape(-1, 3)[np.nonzero(em.reshape(-1))[0]]
+    assert cols[:, 0].min() >= 0.0 and cols[:, 0].max() <= 0.8 + 1e-5
+    # walked edge points lie on the sphere with |n·v| small
+    kept = np.asarray(res["edge_kept"])
+    pts = np.asarray(res["edge_points"])[kept]
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 0.5, atol=2e-3)
+
+
+def test_silhouette_gradient_wrt_radius():
+    """The edge-sampling path must move silhouettes: d(mean color)/d(radius)
+    > 0 (a bigger sphere covers more pixels)."""
+    cam = _cam()  # 64x64: seeds land close enough to the rim for the walk
+    cfg = SurfaceRenderConfig(edge_budget=512)
+    shade = _const_shade((1.0, 1.0, 1.0))
+
+    def mean_color(radius):
+        sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - radius
+
+        def sdf_all_fn(p):
+            n = jnp.linalg.norm(p, axis=-1)
+            return n - radius, jnp.zeros(p.shape[:-1] + (4,)), p / (n[..., None] + 1e-9)
+
+        res = render_camera(sdf_fn, sdf_all_fn, shade, cam, cfg, is_training=True)
+        return jnp.mean(res["color"])
+
+    g = jax.grad(mean_color)(jnp.asarray(0.5))
+    assert np.isfinite(float(g))
+    # The silhouette gradient is a partial (edge-ring-only) estimator of the
+    # true coverage derivative — like the reference's — so we assert sign and
+    # a clearly-nonzero magnitude, and that the true FD derivative agrees in
+    # sign.
+    assert float(g) > 1e-3
+    eps = 5e-3
+    fd = (float(mean_color(jnp.asarray(0.5 + eps))) - float(mean_color(jnp.asarray(0.5 - eps)))) / (2 * eps)
+    assert fd > 0
