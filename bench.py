@@ -1,0 +1,60 @@
+"""Benchmark harness: stage-2 surface-rendering training throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric (BASELINE.md north star): stage-2 rays/s/chip, forward +
+backward — one full training step = sphere-trace + edge-sample + composite
+BRDF shade + pyramid/SSIM/eikonal losses + gradients + Adam update on a
+128x128 patch (the reference workload shape, train_scene.sh:5-8).
+
+`vs_baseline` is value / REF_A100_RAYS_S.  The reference publishes no
+numbers (BASELINE.md), so REF_A100_RAYS_S is an engineering estimate of
+the PyTorch reference on A100 (128^2-px crop at ~0.33 s/iter ≈ 50k rays/s
+fwd+bwd) to be replaced by a measured value when available.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REF_A100_RAYS_S = 50_000.0
+
+PATCH = 128
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from iron_tpu.data.synthetic import render_synthetic_dataset
+    from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer
+    from iron_tpu.surface.render import SurfaceRenderConfig
+
+    data = render_synthetic_dataset("sphere", n_views=4, H=PATCH * 2,
+                                    W=PATCH * 2, light=30.0)
+    cfg = Stage2Config(renderer_name="comp", patch_size=PATCH,
+                       surface=SurfaceRenderConfig(edge_budget=1024))
+    tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"])
+
+    # warmup (compile)
+    tr.run(num_iters=WARMUP)
+    jax.block_until_ready(tr.params)
+
+    t0 = time.perf_counter()
+    tr.run(num_iters=ITERS)
+    jax.block_until_ready(tr.params)
+    dt = time.perf_counter() - t0
+
+    rays_per_step = PATCH * PATCH
+    rays_per_s = rays_per_step * ITERS / dt
+    print(json.dumps({
+        "metric": "stage2_train_rays_per_s_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / REF_A100_RAYS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

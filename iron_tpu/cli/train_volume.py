@@ -1,0 +1,79 @@
+"""Stage-1 CLI — the `render_volume.py` equivalent.
+
+Usage:
+  python -m iron_tpu.cli.train_volume --mode train --conf iron_tpu/configs/womask_iron.json \
+      --case my_scene [--data_dir override] [--out_dir override]
+
+Modes (render_volume.py:875-902): train, validate_mesh, validate_image.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="train",
+                   choices=["train", "validate_mesh", "validate_image"])
+    p.add_argument("--conf", required=True)
+    p.add_argument("--case", default="")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--folder_name", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--num_iters", type=int, default=None)
+    p.add_argument("--mcube_resolution", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from iron_tpu.config import load_config_file, stage1_config_from_dict
+    from iron_tpu.data.dataset import RayDataset
+    from iron_tpu.data.io import write_image, to8b
+    from iron_tpu.train.stage1 import Stage1Config, Stage1Trainer
+    from iron_tpu.utils.logging import ExperimentDir, concatenate_result
+
+    conf = load_config_file(args.conf, case=args.case)
+    cfg = stage1_config_from_dict(conf)
+    data_dir = args.data_dir or conf.get("dataset", {}).get("data_dir")
+    folder = args.folder_name or conf.get("dataset", {}).get("folder_name", "image")
+    out_dir = args.out_dir or conf.get("general", {}).get("base_exp_dir", "./exp")
+
+    exp = ExperimentDir(out_dir, vars(args))
+    ds = RayDataset.from_folder(data_dir, folder_name=folder)
+    trainer = Stage1Trainer(cfg, ds, out_dir=out_dir)
+    start = trainer.resume()
+    print(f"[stage1] dataset {ds.n_images} images {ds.hw}; resume step {start}")
+
+    if args.mode == "validate_image":
+        out = trainer.render_image(0, resolution_level=4)
+        write_image(exp.file(f"val_{trainer.step:07d}.png"),
+                    concatenate_result([out["color"],
+                                        (out["normal"] + 1) / 2], 2))
+        return
+
+    if args.mode == "validate_mesh":
+        from iron_tpu.export.mesh import extract_geometry, write_obj
+        from iron_tpu.fields.sdf import sdf_only
+        verts, tris = extract_geometry(
+            lambda pts: -sdf_only(trainer.params["sdf"], pts, cfg.sdf),
+            resolution=args.mcube_resolution)
+        write_obj(exp.file(f"mesh_{trainer.step:07d}.obj"), verts, tris)
+        return
+
+    total = args.num_iters if args.num_iters is not None else cfg.end_iter
+    while trainer.step < total:
+        n = min(cfg.val_freq, total - trainer.step)
+        metrics = trainer.run(num_iters=n, log_every=cfg.report_freq,
+                              seed=args.seed)
+        exp.metrics.add_scalars(trainer.step, metrics, prefix="stage1/")
+        out = trainer.render_image(trainer.step % ds.n_images, resolution_level=4)
+        gt = np.asarray(ds.images[trainer.step % ds.n_images])[::4, ::4]
+        write_image(exp.file(f"val_{trainer.step:07d}.png"),
+                    concatenate_result([gt, out["color"], (out["normal"] + 1) / 2], 3))
+    trainer.save()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,13 +22,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class Camera(NamedTuple):
-    K: jnp.ndarray       # [4,4] intrinsics
-    W2C: jnp.ndarray     # [4,4] world->camera extrinsics
-    K_inv: jnp.ndarray   # [4,4]
-    C2W: jnp.ndarray     # [4,4]
-    H: int               # static image height
-    W: int               # static image width
+@jax.tree_util.register_pytree_node_class
+class Camera:
+    """Pytree camera: matrices are traced children, (H, W) are static aux
+    data — so a jitted render keeps static image shapes while K/W2C may be
+    traced (dynamic crops without recompilation)."""
+
+    def __init__(self, K, W2C, K_inv, C2W, H: int, W: int):
+        self.K = K
+        self.W2C = W2C
+        self.K_inv = K_inv
+        self.C2W = C2W
+        self.H = int(H)
+        self.W = int(W)
+
+    def tree_flatten(self):
+        return (self.K, self.W2C, self.K_inv, self.C2W), (self.H, self.W)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        K, W2C, K_inv, C2W = children
+        H, W = aux
+        return cls(K, W2C, K_inv, C2W, H, W)
+
+    def _replace(self, **kw):
+        fields = dict(K=self.K, W2C=self.W2C, K_inv=self.K_inv, C2W=self.C2W,
+                      H=self.H, W=self.W)
+        fields.update(kw)
+        return Camera(**fields)
 
 
 def make_camera(K, W2C, H: int, W: int) -> Camera:

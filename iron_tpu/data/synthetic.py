@@ -1,0 +1,135 @@
+"""Synthetic co-located-flash dataset generation.
+
+Replaces the reference's dockerized Mitsuba pipeline
+(`render_synthetic_data/render_rgb_flash_mat.py` + rgb_flash_hdr_mat.xml:
+roughplastic GGX materials lit by a point emitter at the camera origin).
+Here the ground-truth renderer is our own sphere tracer + analytic
+co-located GGX BRDF evaluated on analytic SDF scenes — the same math the
+pipeline must reproduce, which makes these scenes a golden oracle for
+end-to-end training tests and the benchmark harness (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.core.camera import Camera, make_camera, pixel_grid
+from iron_tpu.shading.brdf import ggx_colocated
+from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
+
+
+def look_at_w2c(eye: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """OpenCV-convention world->camera: +z forward, +x right, +y down."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross(fwd, np.asarray([0.0, 1.0, 0.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)  # world->cam rotation
+    t = -R @ eye
+    W2C = np.eye(4)
+    W2C[:3, :3] = R
+    W2C[:3, 3] = t
+    return W2C.astype(np.float32)
+
+
+def ring_cameras(n: int, radius: float = 3.0, H: int = 128, W: int = 128,
+                 focal: float = 160.0, elevation: float = 0.35,
+                 seed: int = 0) -> Tuple[list, np.ndarray, np.ndarray]:
+    """n cameras on a jittered ring looking at the origin."""
+    g = np.random.default_rng(seed)
+    Ks, W2Cs, cams = [], [], []
+    for i in range(n):
+        theta = 2 * np.pi * i / n + g.uniform(-0.1, 0.1)
+        z = elevation + g.uniform(-0.1, 0.1)
+        eye = np.array([radius * np.cos(theta), radius * np.sin(theta), z * radius])
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = focal
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        W2C = look_at_w2c(eye, np.zeros(3))
+        Ks.append(K)
+        W2Cs.append(W2C)
+        cams.append(make_camera(K, W2C, H, W))
+    return cams, np.stack(Ks), np.stack(W2Cs)
+
+
+# ---- analytic scenes ----
+
+def sphere_scene(radius: float = 0.5):
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - radius
+
+    def sdf_all_fn(p):
+        n = jnp.linalg.norm(p, axis=-1)
+        return n - radius, jnp.zeros(p.shape[:-1] + (16,)), p / (n[..., None] + 1e-9)
+
+    return sdf_fn, sdf_all_fn
+
+
+def blobby_scene(radius: float = 0.45, amp: float = 0.08):
+    """Sphere with low-frequency angular bumps — a smooth non-trivial SDF."""
+    def height(p):
+        return amp * (jnp.sin(4.0 * p[..., 0]) * jnp.sin(4.0 * p[..., 1])
+                      + 0.5 * jnp.sin(6.0 * p[..., 2]))
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - radius - height(p)
+
+    def sdf_all_fn(p):
+        v, vjp_fn = jax.vjp(sdf_fn, p)
+        (g,) = vjp_fn(jnp.ones_like(v))
+        return v, jnp.zeros(p.shape[:-1] + (16,)), g
+
+    return sdf_fn, sdf_all_fn
+
+
+def make_ggx_shade_fn(light: float, diffuse_albedo=(0.6, 0.3, 0.2),
+                      specular_albedo=0.3, roughness=0.2):
+    da = jnp.asarray(diffuse_albedo)
+
+    def shade_fn(ray_o, ray_d, points, normals, features):
+        n = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-10)
+        sh = points.shape[:-1]
+        params = {
+            "diffuse_albedo": jnp.broadcast_to(da, sh + (3,)),
+            "specular_albedo": jnp.full(sh + (3,), specular_albedo),
+            "specular_roughness": jnp.full(sh + (1,), roughness),
+        }
+        dist = jnp.linalg.norm(points - ray_o, axis=-1, keepdims=True)
+        res = ggx_colocated(light, dist, n, -ray_d, params)
+        return {"color": res["rgb"], "normal": n,
+                "diffuse_color": res["diffuse_rgb"],
+                "specular_color": res["specular_rgb"]}
+
+    return shade_fn
+
+
+def render_synthetic_dataset(scene: str = "sphere", n_views: int = 12,
+                             H: int = 128, W: int = 128, light: float = 30.0,
+                             **scene_kwargs) -> Dict:
+    """Render a co-located-flash multiview dataset with GT geometry."""
+    sdf_fn, sdf_all_fn = (sphere_scene(**scene_kwargs) if scene == "sphere"
+                          else blobby_scene(**scene_kwargs))
+    shade_fn = make_ggx_shade_fn(light)
+    cams, Ks, W2Cs = ring_cameras(n_views, H=H, W=W)
+    cfg = SurfaceRenderConfig(edge_budget=1024)
+
+    imgs, masks = [], []
+    render = jax.jit(lambda cam: render_camera(sdf_fn, sdf_all_fn, shade_fn,
+                                               cam, cfg, is_training=False))
+    for cam in cams:
+        res = render(cam)
+        imgs.append(np.asarray(res["color"]))
+        masks.append(np.asarray(res["convergent_mask"] | res["edge_mask"])[..., None])
+    return {
+        "images": np.stack(imgs), "masks": np.stack(masks).astype(np.float32),
+        "Ks": Ks, "W2Cs": W2Cs, "cams": cams, "light": light,
+        "sdf_fn": sdf_fn, "sdf_all_fn": sdf_all_fn,
+    }

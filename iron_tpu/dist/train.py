@@ -1,0 +1,106 @@
+"""Sharded training steps.
+
+Data parallel over rays (stage 1) / patch crops (stage 2) with replicated
+parameters: the batch axis carries a `dp` sharding annotation and XLA's
+SPMD partitioner turns the gradient reduction into an all-reduce over ICI,
+overlapped with the backward pass by the latency-hiding scheduler
+(SURVEY.md §2.5 "New components").  Tensor parallel (`tp`) shards the
+256-wide MLP hidden dimensions; mostly unnecessary for these small nets
+(SURVEY.md row "Tensor/model parallel") but exercised by the multi-chip
+dry run.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iron_tpu.train.stage1 import Stage1Config, stage1_loss
+from iron_tpu.train.stage2 import Stage2Config, stage2_loss
+from iron_tpu.core.camera import Camera, crop_camera
+
+
+def stage1_param_shardings(params, mesh: Mesh, tp_shard: bool = True):
+    """NamedShardings for stage-1 params: replicated by default; with
+    tp_shard, hidden matmul dims of the SDF/color/NeRF MLPs are sharded
+    over 'tp' (output dim of v/w [in, out] matrices of hidden layers)."""
+    def assign(path, x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if tp_shard and x.ndim == 2 and x.shape[1] % mesh.shape["tp"] == 0 \
+                and x.shape[1] >= 128:
+            return NamedSharding(mesh, P(None, "tp"))
+        if tp_shard and x.ndim == 1 and x.shape[0] % mesh.shape["tp"] == 0 \
+                and x.shape[0] >= 128:
+            return NamedSharding(mesh, P("tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def make_dp_stage1_step(cfg: Stage1Config, tx, mesh: Mesh,
+                        tp_shard: bool = True) -> Callable:
+    """Jitted (params, opt_state, batch, step, key) -> (params, opt_state,
+    metrics) with the ray batch sharded over dp and params replicated
+    (tp-sharded hidden dims optional)."""
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(params, opt_state, batch, step, key):
+        from iron_tpu.train.schedules import cos_anneal_ratio
+        anneal = cos_anneal_ratio(step, cfg.anneal_end)
+        (loss, metrics), grads = jax.value_and_grad(
+            stage1_loss, has_aux=True)(params, cfg, batch, key, anneal)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return jax.jit(step_fn,
+                   in_shardings=(None, None, batch_sharding, None, None),
+                   donate_argnums=(0, 1))
+
+
+def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
+                        images, Ks, W2Cs) -> Callable:
+    """Data parallel over patch crops: each dp shard renders its own random
+    crop (one full surface-render pipeline per device), gradients are
+    averaged by the partitioner's all-reduce.
+
+    Returns jitted (params, opt_state, keys [D], img_idx [D], ul_col [D],
+    ul_row [D]) -> (params, opt_state, metrics).
+    """
+    ps = cfg.patch_size
+    H, W = images.shape[1:3]
+    images = jnp.asarray(images, jnp.float32)
+    Ks = jnp.asarray(Ks, jnp.float32)
+    W2Cs = jnp.asarray(W2Cs, jnp.float32)
+
+    def one_crop_loss(params, key, img_idx, ul_col, ul_row):
+        K = Ks[img_idx]
+        W2C = W2Cs[img_idx]
+        base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
+                      C2W=jnp.linalg.inv(W2C), H=H, W=W)
+        cam = crop_camera(base, ul_col, ul_row, ps, ps)
+        gt = jax.lax.dynamic_slice(images[img_idx], (ul_row, ul_col, 0), (ps, ps, 3))
+        return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)
+
+    def step_fn(params, opt_state, keys, img_idx, ul_col, ul_row):
+        def mean_loss(p):
+            losses, metrics = jax.vmap(
+                lambda k, i, c, r: one_crop_loss(p, k, i, c, r)
+            )(keys, img_idx, ul_col, ul_row)
+            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
+        (loss, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    sh = NamedSharding(mesh, P("dp"))
+    return jax.jit(step_fn,
+                   in_shardings=(None, None, sh, sh, sh, sh),
+                   donate_argnums=(0, 1))

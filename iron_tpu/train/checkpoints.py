@@ -1,0 +1,71 @@
+"""Checkpointing: single-pytree save/load + stage-1 -> stage-2 conversion.
+
+Replaces the reference's torch.save state-dict dicts and filename-step scan
+(`utils/ckpt_loader.py:8-66`, `render_volume.py:613-643`,
+`render_surface.py:669-671`) with one pickled pytree per step:
+  {"params": ..., "opt_state": ..., "step": int, "extra": {...}}
+Resume = scan `ckpt_*.pkl` by step (restart-based resilience, same model as
+the reference).  The stage-1 -> stage-2 converter maps the stage-1 SDF into
+the stage-2 SDF and warm-starts the diffuse albedo net from the stage-1
+color net (architectures are intentionally identical, ckpt_loader.py:49-66).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(out_dir: str, step: int, params: Any, opt_state: Any = None,
+                    extra: Optional[Dict] = None) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"ckpt_{step:07d}.pkl")
+    payload = {"params": _to_numpy(params),
+               "opt_state": _to_numpy(opt_state) if opt_state is not None else None,
+               "step": int(step), "extra": extra or {}}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_checkpoint(out_dir: str) -> Optional[str]:
+    paths = glob.glob(os.path.join(out_dir, "ckpt_*.pkl"))
+    if not paths:
+        return None
+    step_of = lambda p: int(re.search(r"ckpt_(\d+)\.pkl", p).group(1))
+    return max(paths, key=step_of)
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def stage1_to_stage2(stage1_params: Dict, stage2_params: Dict,
+                     load_diffuse_albedo: bool = True) -> Dict:
+    """Map stage-1 {sdf, color, ...} into stage-2 {sdf, materials}
+    (ckpt_loader.py:49-66)."""
+    out = dict(stage2_params)
+    out["sdf"] = stage1_params["sdf"]
+    if load_diffuse_albedo and "color" in stage1_params:
+        mats = dict(out["materials"])
+        s1_layers = stage1_params["color"]["layers"]
+        s2_layers = mats["diffuse_albedo_network"]["layers"]
+        if len(s1_layers) == len(s2_layers) and all(
+                np.shape(a["v" if "v" in a else "w"]) == np.shape(b["v" if "v" in b else "w"])
+                for a, b in zip(s1_layers, s2_layers)):
+            mats = dict(mats)
+            mats["diffuse_albedo_network"] = stage1_params["color"]
+            out["materials"] = mats
+    return out

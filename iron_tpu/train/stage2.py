@@ -1,0 +1,271 @@
+"""Stage-2 trainer: sphere-traced surface rendering with material recovery.
+
+Behavioral spec from reference `render_surface.py` (+ `render_nir.py`,
+`model_bed.py`):
+  * per iter: random image -> random patch crop (principal-point shift) ->
+    render_camera (trace + edges) -> gamma-correct predictions (optional)
+    -> losses: pyramid L2 + weighted SSIM over convergent|edge mask,
+    eikonal over {uniform cube points, surface normals, edge side normals},
+    roughness hinge at `roughness_value` (0.5 RGB / 0.1 NIR), optional
+    metal eta/k and dielectric eta priors (in-loss for the NIR variant,
+    render_nir.py:535-566) (render_surface.py:533-653);
+  * optimizers: sdf Adam 1e-5; material nets 1e-4; light 1e-2
+    (render_surface.py:112, network_conf.py:707-745);
+  * light init 8 * median(||cam||)^2 (render_surface.py:353-355);
+  * component freezing for staged curricula (model_bed.py:897-907) via the
+    `trainable` mask (optax.multi_transform zeroes frozen groups).
+
+TPU-first: one jitted train step of (params, opt_state, image, K, W2C,
+crop offsets, rng) — dynamic crop offsets are traced so every random crop
+reuses one compiled program.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from iron_tpu.core.camera import Camera, make_camera, crop_camera
+from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_only, sdf_value_feat_grad, sdf_grad
+from iron_tpu.shading.materials import (init_material_networks, material_lr_map,
+                                        shade_points)
+from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
+from iron_tpu.losses.image import pyramid_l2_loss, ssim_loss
+from iron_tpu.losses.regularizers import (eikonal_loss, roughness_range_loss,
+                                          metal_eta_k_loss, dielectric_eta_loss)
+from iron_tpu.train.checkpoints import (save_checkpoint, latest_checkpoint,
+                                        load_checkpoint, stage1_to_stage2)
+
+
+@dataclass(frozen=True)
+class Stage2Config:
+    renderer_name: str = "comp"
+    num_iters: int = 50001
+    patch_size: int = 128
+    eik_weight: float = 0.1
+    ssim_weight: float = 1.0
+    roughrange_weight: float = 0.1
+    roughness_value: float = 0.5          # 0.1 for the NIR variant (render_nir.py:535)
+    metal_eta_weight: float = 0.1
+    metal_k_weight: float = 0.1
+    dielectric_eta_weight: float = 0.1
+    include_eta_priors: bool = False      # True for NIR (render_nir.py:566)
+    metal_eta_value: float = 1.0
+    metal_k_value: float = 10.0
+    is_metal: bool = False
+    gamma_pred: bool = False
+    inv_gamma_gt: bool = False
+    init_light_scale: float = 8.0
+    sdf_lr: float = 1e-5
+    use_env_light: bool = False
+    surface: SurfaceRenderConfig = field(default_factory=SurfaceRenderConfig)
+    sdf: SDFConfig = field(default_factory=SDFConfig)
+    save_freq: int = 1000
+    val_freq: int = 100
+
+
+def init_stage2_params(key, cfg: Stage2Config):
+    k1, k2 = jax.random.split(key)
+    materials, mat_cfgs = init_material_networks(k2, cfg.renderer_name)
+    params = {"sdf": init_sdf(k1, cfg.sdf), "materials": materials}
+    return params, mat_cfgs
+
+
+def make_optimizer(cfg: Stage2Config, params, trainable: Optional[Dict[str, bool]] = None):
+    """Per-group Adams via multi_transform; `trainable` freezes groups
+    (model_bed.py:897-907 component_switch)."""
+    lrs = material_lr_map(cfg.renderer_name)
+    txs = {"sdf": optax.adam(cfg.sdf_lr)}
+    txs.update({f"mat/{k}": optax.adam(lr) for k, lr in lrs.items()})
+    txs["frozen"] = optax.set_to_zero()
+
+    sdf_on = trainable is None or trainable.get("sdf", True)
+    full_labels = {
+        "sdf": jax.tree_util.tree_map(
+            lambda _: "sdf" if sdf_on else "frozen", params["sdf"]),
+        "materials": {
+            k: jax.tree_util.tree_map(
+                lambda _, kk=k: (f"mat/{kk}" if trainable is None or trainable.get(kk, True)
+                                 else "frozen"), v)
+            for k, v in params["materials"].items()},
+    }
+    return optax.multi_transform(txs, full_labels)
+
+
+def init_light_from_cameras(W2Cs: np.ndarray, scale: float = 8.0) -> float:
+    """8 * median(||cam origin||)^2 (render_surface.py:353-355)."""
+    dists = [np.linalg.norm(np.linalg.inv(w)[:3, 3]) for w in np.asarray(W2Cs)]
+    d = float(np.median(dists))
+    return scale * d * d
+
+
+def _gamma(x):
+    return jnp.power(x + 1e-6, 1.0 / 2.2)
+
+
+def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
+                gt_crop: jnp.ndarray, key) -> Tuple[jnp.ndarray, Dict]:
+    sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
+    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
+        cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
+        normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
+
+    res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
+                        is_training=True)
+
+    color = res["color"]
+    if cfg.gamma_pred:
+        color = _gamma(color)
+
+    mask = res["convergent_mask"]
+    if cfg.surface.handle_edges:
+        mask = mask | res["edge_mask"]
+    any_mask = (jnp.sum(mask) > 0).astype(jnp.float32)
+
+    pred = jnp.transpose(color, (2, 0, 1))[None]
+    gt = jnp.transpose(gt_crop[..., :3], (2, 0, 1))[None]
+    img_l2 = pyramid_l2_loss(pred, gt) * any_mask
+    img_ssim = cfg.ssim_weight * ssim_loss(pred, gt, mask[None, None]) * any_mask
+    img_loss = img_l2 + img_ssim
+
+    # eikonal from three sources (render_surface.py:580-607)
+    n_eik = (cam.H * cam.W) // 2
+    eik_pts = jax.random.uniform(key, (n_eik, 3), minval=-1.0, maxval=1.0)
+    e_sum, e_cnt = eikonal_loss(sdf_grad(params["sdf"], eik_pts, cfg.sdf))
+    s_sum, s_cnt = eikonal_loss(res["raw_grad"], mask)
+    e_sum, e_cnt = e_sum + s_sum, e_cnt + s_cnt
+    if cfg.surface.handle_edges:
+        p_sum, p_cnt = eikonal_loss(res["edge_pos_neg_normal"], res["edge_pos_neg_mask"])
+        e_sum, e_cnt = e_sum + p_sum, e_cnt + p_cnt
+    eik = e_sum / jnp.clip(e_cnt, 1.0) * cfg.eik_weight
+
+    rough = roughness_range_loss(res["specular_roughness"], mask,
+                                 cfg.roughness_value) * cfg.roughrange_weight * any_mask
+
+    loss = img_loss + eik + rough
+    metrics = {"loss": loss, "img_loss": img_loss, "img_l2_loss": img_l2,
+               "img_ssim_loss": img_ssim, "eik_loss": eik, "roughrange_loss": rough,
+               "mask_frac": jnp.mean(mask.astype(jnp.float32))}
+
+    if cfg.renderer_name in ("comp", "comp2"):
+        m_eta, m_k = metal_eta_k_loss(res["metallic_eta"], res["metallic_k"], mask,
+                                      cfg.metal_eta_value, cfg.metal_k_value)
+        metal = (m_eta * cfg.metal_eta_weight + m_k * cfg.metal_k_weight) * any_mask
+        diel = dielectric_eta_loss(res["dielectric_eta"], mask) * \
+            cfg.dielectric_eta_weight * any_mask
+        metrics.update({"metallicness_loss": metal, "dielectricness_loss": diel})
+        if cfg.include_eta_priors:  # NIR variant puts these in the loss
+            loss = loss + metal + diel
+            metrics["loss"] = loss
+
+    return loss, metrics
+
+
+class Stage2Trainer:
+    def __init__(self, cfg: Stage2Config, images: np.ndarray, Ks: np.ndarray,
+                 W2Cs: np.ndarray, key: Optional[jax.Array] = None,
+                 out_dir: Optional[str] = None,
+                 stage1_params: Optional[Dict] = None,
+                 trainable: Optional[Dict[str, bool]] = None):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        key = key if key is not None else jax.random.PRNGKey(0)
+        if cfg.inv_gamma_gt:
+            images = np.power(images, 2.2)
+        self.images = jnp.asarray(images, jnp.float32)
+        self.Ks = jnp.asarray(Ks, jnp.float32)
+        self.W2Cs = jnp.asarray(W2Cs, jnp.float32)
+        self.H, self.W = images.shape[1:3]
+
+        self.params, self.mat_cfgs = init_stage2_params(key, cfg)
+        if stage1_params is not None:
+            self.params = stage1_to_stage2(stage1_params, self.params)
+        light = init_light_from_cameras(W2Cs, cfg.init_light_scale)
+        self.params["materials"]["point_light_network"]["light"] = jnp.asarray(
+            light, jnp.float32)
+
+        self.tx = make_optimizer(cfg, self.params, trainable)
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+
+        ps = cfg.patch_size
+        mat_cfgs = self.mat_cfgs
+
+        @jax.jit
+        def train_step(params, opt_state, key, img_idx, ul_col, ul_row):
+            k_eik, = jax.random.split(key, 1)
+            K = self.Ks[img_idx]
+            W2C = self.W2Cs[img_idx]
+            base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
+                          C2W=jnp.linalg.inv(W2C), H=self.H, W=self.W)
+            cam = crop_camera(base, ul_col, ul_row, ps, ps)
+            gt = jax.lax.dynamic_slice(
+                self.images[img_idx], (ul_row, ul_col, 0), (ps, ps, 3))
+            (loss, metrics), grads = jax.value_and_grad(
+                stage2_loss, has_aux=True)(params, mat_cfgs, cfg, cam, gt, k_eik)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self._train_step = train_step
+
+    def resume(self) -> int:
+        if self.out_dir:
+            path = latest_checkpoint(self.out_dir)
+            if path:
+                ck = load_checkpoint(path)
+                self.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+                self.step = ck["step"]
+        return self.step
+
+    def save(self):
+        if self.out_dir:
+            save_checkpoint(self.out_dir, self.step, self.params)
+
+    def run(self, num_iters: Optional[int] = None, log_every: int = 0,
+            seed: int = 0) -> Dict:
+        n = num_iters if num_iters is not None else (self.cfg.num_iters - self.step)
+        rng = np.random.default_rng(seed)
+        ps = self.cfg.patch_size
+        key = jax.random.PRNGKey(seed + 1)
+        metrics = {}
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            idx = int(rng.integers(0, self.images.shape[0]))
+            ul_col = int(rng.integers(0, max(self.W - ps, 1)))
+            ul_row = int(rng.integers(0, max(self.H - ps, 1)))
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, sub, idx, ul_col, ul_row)
+            self.step += 1
+            if log_every and self.step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"[stage2 {self.step}] " +
+                      " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if self.out_dir and self.step % self.cfg.save_freq == 0:
+                self.save()
+        return {k: float(v) for k, v in metrics.items()}
+
+    def render_full(self, img_idx: int, factor: float = 1.0,
+                    is_training: bool = False) -> Dict[str, np.ndarray]:
+        """Full-frame render for validation / render_all."""
+        from iron_tpu.core.camera import resize_camera
+        K = np.asarray(self.Ks[img_idx])
+        W2C = np.asarray(self.W2Cs[img_idx])
+        cam = make_camera(K, W2C, self.H, self.W)
+        if factor != 1.0:
+            cam = resize_camera(cam, factor)
+        sdf_fn = lambda p: sdf_only(self.params["sdf"], p, self.cfg.sdf)
+        sdf_all_fn = lambda p: sdf_value_feat_grad(self.params["sdf"], p, self.cfg.sdf)
+        shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
+            self.cfg.renderer_name, self.params["materials"], self.mat_cfgs,
+            ray_o, ray_d, pts, normals, feats, is_metal=self.cfg.is_metal,
+            use_env_light=self.cfg.use_env_light)
+        res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, self.cfg.surface,
+                            is_training=is_training)
+        return {k: np.asarray(v) for k, v in res.items()
+                if isinstance(v, jnp.ndarray)}

@@ -1,0 +1,94 @@
+"""Data layer + config system tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.data.cameras import load_cam_dict, get_tf_cams, normalize_cam_dict, transform_pose
+from iron_tpu.data.dataset import RayDataset, near_far_from_sphere, load_image_folder
+from iron_tpu.data.io import read_image, write_image
+from iron_tpu.config import load_config_file, stage1_config_from_dict
+from iron_tpu.data.synthetic import render_synthetic_dataset
+
+DATA = os.path.join(os.path.dirname(__file__), "data_singleview")
+
+
+def test_load_cam_dict_fixture():
+    d = load_cam_dict(os.path.join(DATA, "cam_dict_norm.json"))
+    assert "12.png" in d
+    assert d["12.png"]["K"].shape == (4, 4)
+    assert d["12.png"]["img_size"] == (512, 512)
+
+
+def test_normalize_cam_dict(tmp_path):
+    # build a fake dict with far-away cameras, normalize, verify radius <= 1
+    cams = {}
+    g = np.random.default_rng(0)
+    for i in range(6):
+        W2C = np.eye(4)
+        W2C[:3, 3] = g.normal(size=3) * 20 + 50
+        cams[f"{i}.png"] = {"K": list(np.eye(4).flatten()),
+                            "W2C": list(W2C.flatten()), "img_size": [64, 64]}
+    in_path = str(tmp_path / "cam.json")
+    out_path = str(tmp_path / "cam_norm.json")
+    json.dump(cams, open(in_path, "w"))
+    normalize_cam_dict(in_path, out_path, target_radius=1.0)
+    out = load_cam_dict(out_path)
+    centers = [np.linalg.inv(v["W2C"])[:3, 3] for v in out.values()]
+    assert np.max(np.linalg.norm(np.stack(centers) - np.mean(centers, axis=0),
+                                 axis=-1)) <= 1.0 + 1e-4
+
+
+def test_near_far_from_sphere():
+    o = jnp.asarray([[0.0, 0.0, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    near, far = near_far_from_sphere(o, d)
+    np.testing.assert_allclose(float(near[0, 0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(float(far[0, 0]), 4.0, atol=1e-5)
+
+
+def test_ray_dataset_sampling_consistency():
+    data = render_synthetic_dataset("sphere", n_views=3, H=32, W=32, light=30.0)
+    ds = RayDataset.from_arrays(data["images"], data["Ks"], data["W2Cs"],
+                                data["masks"])
+    batch = ds.gen_random_rays(jax.random.PRNGKey(0), 1, 64)
+    assert batch.shape == (64, 10)
+    # directions are unit length, origins equal the camera center
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(batch[:, 3:6]), axis=-1),
+                               1.0, atol=1e-5)
+    c = np.linalg.inv(np.asarray(ds.W2Cs[1]))[:3, 3]
+    np.testing.assert_allclose(np.asarray(batch[0, :3]), c, atol=1e-5)
+    # colors come from the image
+    assert np.asarray(batch[:, 6:9]).min() >= 0.0
+
+
+def test_load_image_folder_roundtrip(tmp_path):
+    data = render_synthetic_dataset("sphere", n_views=2, H=16, W=16, light=30.0)
+    img_dir = tmp_path / "scene" / "image"
+    os.makedirs(img_dir)
+    cam = {}
+    for i in range(2):
+        write_image(str(img_dir / f"{i:02d}.png"), data["images"][i])
+        cam[f"{i:02d}.png"] = {"K": [float(x) for x in data["Ks"][i].flatten()],
+                               "W2C": [float(x) for x in data["W2Cs"][i].flatten()],
+                               "img_size": [16, 16]}
+    json.dump(cam, open(tmp_path / "scene" / "cam_dict_norm.json", "w"))
+    fpaths, imgs, Ks, W2Cs, masks = load_image_folder(str(tmp_path / "scene"))
+    assert len(fpaths) == 2 and imgs.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(imgs, np.clip(data["images"], 0, 1), atol=2 / 255)
+
+
+def test_config_substitution_and_mapping(tmp_path):
+    conf = load_config_file("iron_tpu/configs/womask_iron.json", case="dragon")
+    assert conf["general"]["base_exp_dir"] == "./exp_stage1/dragon/"
+    cfg = stage1_config_from_dict(conf)
+    assert cfg.batch_size == 512
+    assert cfg.render.n_samples == 64
+    assert cfg.render.n_outside == 32
+    assert cfg.sdf.multires == 6
+    assert cfg.color.n_layers == 8
+    assert cfg.nerf.multires == 10
+    assert cfg.variance_init == 0.3

@@ -1,0 +1,95 @@
+"""Export / eval tests: native marching cubes, PCA export, baking, Chamfer."""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iron_tpu.native import marching_cubes, point_mesh_sq_distances
+from iron_tpu.export.mesh import (export_mesh, extract_geometry, largest_component,
+                                  write_obj, read_obj, sample_mesh_points)
+from iron_tpu.export.uv import grid_uv_unwrap, unwrap_obj
+from iron_tpu.export.materials import export_materials, sample_surface
+from iron_tpu.eval.metrics import chamfer_distance, psnr_np, ssim_np
+
+
+def _sphere_sdf(p):
+    return jnp.linalg.norm(p, axis=-1) - 0.5
+
+
+def test_extract_geometry_sphere():
+    verts, tris = extract_geometry(lambda p: -_sphere_sdf(p), resolution=64)
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r.mean(), 0.5, atol=5e-3)
+    assert r.std() < 2e-3
+
+
+def test_largest_component_filters_noise():
+    # two spheres: r=.4 at origin, r=.1 at (0.8,0,0) — keep the big one
+    def sdf(p):
+        d1 = jnp.linalg.norm(p, axis=-1) - 0.4
+        d2 = jnp.linalg.norm(p - jnp.asarray([0.75, 0, 0]), axis=-1) - 0.1
+        return jnp.minimum(d1, d2)
+
+    verts, tris = extract_geometry(lambda p: -sdf(p), resolution=64)
+    verts, tris = largest_component(verts, tris)
+    r = np.linalg.norm(verts, axis=-1)
+    assert np.all(r < 0.55)
+    np.testing.assert_allclose(r.mean(), 0.4, atol=5e-3)
+
+
+def test_export_mesh_two_pass(tmp_path):
+    path = str(tmp_path / "mesh.obj")
+    verts, tris = export_mesh(_sphere_sdf, path, resolution=96, low_res=48)
+    assert os.path.exists(path)
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r.mean(), 0.5, atol=5e-3)
+    # roundtrip
+    v2, t2, _, _ = read_obj(path)
+    assert v2.shape == verts.shape and t2.shape == tris.shape
+
+
+def test_chamfer_between_spheres():
+    def sph(r):
+        return extract_geometry(lambda p: -(jnp.linalg.norm(p, axis=-1) - r),
+                                resolution=48)
+
+    v1, t1 = sph(0.5)
+    v2, t2 = sph(0.4)
+    d = chamfer_distance(v1, t1, v2, t2)
+    np.testing.assert_allclose(d, 0.1, atol=0.01)
+    assert chamfer_distance(v1, t1, v1, t1) < 1e-4
+
+
+def test_uv_unwrap_and_bake(tmp_path):
+    mesh_path = str(tmp_path / "mesh.obj")
+    verts, tris = export_mesh(_sphere_sdf, mesh_path, resolution=48, low_res=32)
+    uv_path = str(tmp_path / "mesh_uv.obj")
+    unwrap_obj(mesh_path, uv_path)
+    v, t, uvs, tuv = read_obj(uv_path)
+    assert len(uvs) == 3 * len(t)
+    assert uvs.min() >= 0 and uvs.max() <= 1
+
+    # bake a position-dependent material and verify atlas coverage + values
+    def predictor(p):
+        d = jnp.clip(jnp.abs(p), 0, 1)
+        s = jnp.ones_like(p) * 0.25
+        r = jnp.full(p.shape[:-1] + (1,), 0.3)
+        return d, s, r
+
+    maps = export_materials(uv_path, predictor, str(tmp_path / "mat"),
+                            n_rounds=1, samples_per_round=200_000,
+                            texture_H=256, texture_W=256)
+    cov = maps["coverage"]
+    assert cov.mean() > 0.05
+    rough = maps["roughness"][cov]
+    np.testing.assert_allclose(rough.mean(), 0.3, atol=0.02)
+    spec = maps["specular_albedo"][cov]
+    np.testing.assert_allclose(spec.mean(), 0.25, atol=0.02)
+
+
+def test_psnr_ssim_np():
+    g = np.random.default_rng(0)
+    x = g.uniform(size=(32, 32, 3)).astype(np.float32)
+    assert psnr_np(x, x) > 100
+    assert abs(ssim_np(x, x) - 1.0) < 1e-5
