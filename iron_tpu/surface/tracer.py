@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,11 @@ class TracerConfig:
     sphere_tracing_iters: int = 16
     n_steps: int = 128          # dense fallback samples
     max_bisection_iters: int = 24
+    # Static cap on rays entering the dense fallback.  Sphere tracing leaves
+    # only grazing rays unfinished (misses exit via acc_dis >= max_dis), so a
+    # small budget covers them; the reference compacts dynamically instead
+    # (raytracer.py:58-79).  None = run the fallback on the full tile.
+    fallback_budget: int | None = 4096
 
 
 def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
@@ -141,6 +147,9 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     """Full root finder = sphere trace -> fallback sampler (raytracer.py:45-103).
 
     Returns dict with full-shape convergent_mask / points / sdf / distance.
+    With `fallback_budget`, only up to that many unfinished rays are dense-
+    sampled (gather -> sample -> scatter), saving ~n_steps SDF sweeps over
+    the full tile; sphere tracing leaves few rays unfinished.
     """
     (convergent, unfinished, pts, sdf_val, acc_dis) = sphere_trace(
         sdf_fn, ray_o, ray_d, min_dis, max_dis, work_mask, cfg)
@@ -151,14 +160,36 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     samp_min = jnp.where(went_positive, acc_dis, min_dis)
     samp_max = jnp.where(went_positive, max_dis, acc_dis)
 
-    samp_conv, samp_pts, samp_sdf, samp_dis = ray_sampler(
-        sdf_fn, ray_o, ray_d, samp_min, samp_max, unfinished, cfg)
-
-    use_samp = unfinished
-    convergent = jnp.where(use_samp, samp_conv, convergent)
-    pts = jnp.where(use_samp[..., None], samp_pts, pts)
-    sdf_val = jnp.where(use_samp, samp_sdf, sdf_val)
-    acc_dis = jnp.where(use_samp, samp_dis, acc_dis)
+    K = cfg.fallback_budget
+    n_rays = int(np.prod(work_mask.shape))
+    if K is None or K >= n_rays:
+        samp_conv, samp_pts, samp_sdf, samp_dis = ray_sampler(
+            sdf_fn, ray_o, ray_d, samp_min, samp_max, unfinished, cfg)
+        use = unfinished
+        convergent = jnp.where(use, samp_conv, convergent)
+        pts = jnp.where(use[..., None], samp_pts, pts)
+        sdf_val = jnp.where(use, samp_sdf, sdf_val)
+        acc_dis = jnp.where(use, samp_dis, acc_dis)
+    else:
+        shape = work_mask.shape
+        unf_f = unfinished.reshape(-1)
+        order = jnp.argsort(jnp.where(unf_f, 0, 1), stable=True)
+        sel = order[:K]
+        valid = unf_f[sel]
+        s_conv, s_pts, s_sdf, s_dis = ray_sampler(
+            sdf_fn,
+            ray_o.reshape(-1, 3)[sel], ray_d.reshape(-1, 3)[sel],
+            samp_min.reshape(-1)[sel], samp_max.reshape(-1)[sel],
+            valid, cfg)
+        upd = valid
+        convergent = convergent.reshape(-1).at[sel].set(
+            jnp.where(upd, s_conv, convergent.reshape(-1)[sel])).reshape(shape)
+        pts = pts.reshape(-1, 3).at[sel].set(
+            jnp.where(upd[..., None], s_pts, pts.reshape(-1, 3)[sel])).reshape(shape + (3,))
+        sdf_val = sdf_val.reshape(-1).at[sel].set(
+            jnp.where(upd, s_sdf, sdf_val.reshape(-1)[sel])).reshape(shape)
+        acc_dis = acc_dis.reshape(-1).at[sel].set(
+            jnp.where(upd, s_dis, acc_dis.reshape(-1)[sel])).reshape(shape)
 
     return {
         "convergent_mask": convergent,
