@@ -45,6 +45,8 @@ def _lib() -> ctypes.CDLL:
         lib.mc_get_tris.argtypes = [i32p]
         lib.bvh_create.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64]
         lib.bvh_sq_distances.argtypes = [f32p, ctypes.c_int64, f32p]
+        lib.bvh_ray_intersect.argtypes = [f32p, f32p, ctypes.c_int64,
+                                          f32p, i32p, f32p]
         _LIB = lib
         return lib
 
@@ -71,6 +73,27 @@ def marching_cubes(field: np.ndarray, origin, spacing, iso: float = 0.0
             lib.mc_get_tris(tris)
         lib.mc_free()
     return verts, tris
+
+
+def ray_mesh_intersect(ray_o: np.ndarray, ray_d: np.ndarray, verts: np.ndarray,
+                       tris: np.ndarray):
+    """Closest-hit ray casting against a triangle mesh.
+
+    Returns (t [N] (-1 = miss), tri_idx [N], bary_uv [N, 2])."""
+    lib = _lib()
+    ray_o = np.ascontiguousarray(ray_o, np.float32)
+    ray_d = np.ascontiguousarray(ray_d, np.float32)
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    n = ray_o.shape[0]
+    out_t = np.empty(n, np.float32)
+    out_tri = np.empty(n, np.int32)
+    out_uv = np.empty((n, 2), np.float32)
+    with _LOCK:
+        lib.bvh_create(verts, verts.shape[0], tris, tris.shape[0])
+        lib.bvh_ray_intersect(ray_o, ray_d, n, out_t, out_tri, out_uv)
+        lib.bvh_free()
+    return out_t, out_tri, out_uv
 
 
 def point_mesh_sq_distances(points: np.ndarray, verts: np.ndarray,

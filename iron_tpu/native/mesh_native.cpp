@@ -312,4 +312,89 @@ void bvh_sq_distances(const float* points, int64_t n_points, float* out) {
 
 void bvh_free() { delete g_bvh; g_bvh = nullptr; }
 
+// ---------------- ray -> mesh closest-hit (Moller-Trumbore) ----------------
+
+static bool ray_tri(const float* o, const float* d,
+                    const float* a, const float* b, const float* c,
+                    float& t, float& u, float& v) {
+    float e1[3] = {b[0]-a[0], b[1]-a[1], b[2]-a[2]};
+    float e2[3] = {c[0]-a[0], c[1]-a[1], c[2]-a[2]};
+    float p[3] = {d[1]*e2[2]-d[2]*e2[1], d[2]*e2[0]-d[0]*e2[2], d[0]*e2[1]-d[1]*e2[0]};
+    float det = e1[0]*p[0] + e1[1]*p[1] + e1[2]*p[2];
+    if (std::fabs(det) < 1e-12f) return false;
+    float inv = 1.0f / det;
+    float s[3] = {o[0]-a[0], o[1]-a[1], o[2]-a[2]};
+    u = (s[0]*p[0] + s[1]*p[1] + s[2]*p[2]) * inv;
+    if (u < 0.0f || u > 1.0f) return false;
+    float q[3] = {s[1]*e1[2]-s[2]*e1[1], s[2]*e1[0]-s[0]*e1[2], s[0]*e1[1]-s[1]*e1[0]};
+    v = (d[0]*q[0] + d[1]*q[1] + d[2]*q[2]) * inv;
+    if (v < 0.0f || u + v > 1.0f) return false;
+    t = (e2[0]*q[0] + e2[1]*q[1] + e2[2]*q[2]) * inv;
+    return t > 1e-6f;
+}
+
+static float box_ray_tmin(const float* o, const float* inv_d,
+                          const float* bmin, const float* bmax, float tmax) {
+    float t0 = 0.0f, t1 = tmax;
+    for (int i = 0; i < 3; ++i) {
+        float ta = (bmin[i] - o[i]) * inv_d[i];
+        float tb = (bmax[i] - o[i]) * inv_d[i];
+        if (ta > tb) std::swap(ta, tb);
+        t0 = std::max(t0, ta);
+        t1 = std::min(t1, tb);
+        if (t0 > t1) return -1.0f;
+    }
+    return t0;
+}
+
+// For each ray: out_t[i] = hit distance (or -1), out_tri[i] = triangle id,
+// out_uv[2i..] = barycentric (u, v).
+void bvh_ray_intersect(const float* ray_o, const float* ray_d, int64_t n_rays,
+                       float* out_t, int32_t* out_tri, float* out_uv) {
+    if (!g_bvh) return;
+    const BVH& bvh = *g_bvh;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int64_t r = 0; r < n_rays; ++r) {
+        const float* o = ray_o + 3 * r;
+        const float* d = ray_d + 3 * r;
+        float inv_d[3];
+        for (int i = 0; i < 3; ++i)
+            inv_d[i] = 1.0f / (std::fabs(d[i]) > 1e-12f ? d[i]
+                               : (d[i] >= 0 ? 1e-12f : -1e-12f));
+        float best_t = 1e30f;
+        int32_t best_tri = -1;
+        float best_u = 0, best_v = 0;
+        int32_t stack[128]; int sp = 0;
+        stack[sp++] = 0;
+        while (sp > 0) {
+            int32_t ni = stack[--sp];
+            const BVHNode& n = bvh.nodes[ni];
+            float tmin = box_ray_tmin(o, inv_d, n.bmin, n.bmax, best_t);
+            if (tmin < 0.0f || tmin >= best_t) continue;
+            if (n.left < 0) {
+                for (int32_t i = n.start; i < n.start + n.count; ++i) {
+                    int32_t tr = bvh.tri_order[i];
+                    float t, u, v;
+                    if (ray_tri(o, d,
+                                bvh.verts + 3*bvh.tris[3*tr],
+                                bvh.verts + 3*bvh.tris[3*tr+1],
+                                bvh.verts + 3*bvh.tris[3*tr+2], t, u, v)
+                        && t < best_t) {
+                        best_t = t; best_tri = tr; best_u = u; best_v = v;
+                    }
+                }
+            } else {
+                stack[sp++] = n.left;
+                stack[sp++] = n.right;
+            }
+        }
+        out_t[r] = best_tri >= 0 ? best_t : -1.0f;
+        out_tri[r] = best_tri;
+        out_uv[2*r] = best_u;
+        out_uv[2*r+1] = best_v;
+    }
+}
+
 }  // extern "C"
