@@ -144,6 +144,32 @@ class RayDataset:
         rays_o = jnp.broadcast_to(self.C2Ws[img_idx][:3, 3], rays_d.shape)
         return jnp.concatenate([rays_o, rays_d, color, mask], axis=-1)
 
+    def gen_rays_between(self, idx_0: int, idx_1: int, ratio: float,
+                         resolution_level: int = 1):
+        """Rays from a pose slerp-interpolated between two cameras
+        (dataset.py:302-334): rotation slerped, translation lerped, using
+        camera-0 intrinsics."""
+        from scipy.spatial.transform import Rotation, Slerp
+
+        H, W = self.hw
+        l = resolution_level
+        C2W0 = np.asarray(self.C2Ws[idx_0])
+        C2W1 = np.asarray(self.C2Ws[idx_1])
+        rots = Rotation.from_matrix(np.stack([C2W0[:3, :3], C2W1[:3, :3]]))
+        rot = Slerp([0, 1], rots)(float(ratio)).as_matrix()
+        trans = (1.0 - ratio) * C2W0[:3, 3] + ratio * C2W1[:3, 3]
+
+        tx = jnp.linspace(0, W - 1, W // l) + 0.5
+        ty = jnp.linspace(0, H - 1, H // l) + 0.5
+        px, py = jnp.meshgrid(tx, ty, indexing="xy")
+        uv_h = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
+        hp = jax.lax.Precision.HIGHEST
+        d_cam = jnp.dot(uv_h, self.K_invs[0][:3, :3].T, precision=hp)
+        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+        rays_d = jnp.dot(d_cam, jnp.asarray(rot, jnp.float32).T, precision=hp)
+        rays_o = jnp.broadcast_to(jnp.asarray(trans, jnp.float32), rays_d.shape)
+        return rays_o, rays_d
+
     def gen_rays_grid(self, img_idx: int, resolution_level: int = 1):
         """Full-image ray grid at a downsample level (dataset.py:gen_rays_at)."""
         H, W = self.hw

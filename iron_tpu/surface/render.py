@@ -169,7 +169,7 @@ def shade_masked(sdf_all_fn, shade_fn, ray_o, ray_d, points, mask,
 
 def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                   cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
-                  is_training: bool = False) -> Dict:
+                  is_training: bool = False, debug: bool = False) -> Dict:
     """Top-level surface render (raytracer.py:778-814), jittable.
 
     sdf_fn:     pts [..., 3] -> sdf [...]
@@ -197,6 +197,9 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
     if cfg.handle_edges:
         grad_mag = sobel_magnitude(res["depth"])
         depth_edge_mask = (grad_mag > cfg.depth_edge_threshold) & res["convergent_mask"]
+        if debug:  # VERBOSE_MODE buffers (raytracer.py:587-588)
+            res["depth_grad_norm"] = grad_mag
+            res["depth_edge_mask"] = depth_edge_mask
         sel, seed_valid = _select_topk_mask(depth_edge_mask.reshape(-1), cfg.edge_budget)
         seeds = res["points"].reshape(-1, 3)[sel]
         nograd_all = lambda p: jax.tree_util.tree_map(
@@ -279,5 +282,22 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         res["edge_points"] = epts
         res["edge_kept"] = kept
         res["edge_pos_weight"] = pos_w
+
+        if debug:  # VERBOSE edge buffers (raytracer.py:515-537, 731-775)
+            zero = jnp.zeros((H * W,))
+            res["edge_pos_side_weight"] = scatter(zero, pos_w).reshape(H, W)
+            res["edge_pos_side_depth"] = scatter(zero, pos_res["depth"]).reshape(H, W)
+            res["edge_neg_side_depth"] = scatter(zero, neg_res["depth"]).reshape(H, W)
+            res["edge_pos_side_color"] = scatter(
+                jnp.zeros((H * W, 3)), pos_shade["color"]).reshape(H, W, 3)
+            res["edge_neg_side_color"] = scatter(
+                jnp.zeros((H * W, 3)), neg_shade["color"]).reshape(H, W, 3)
+            # per-pixel |n.v| angle at the walked edge point (deg)
+            viewdir = jnp.asarray(cam.C2W[:3, 3]) - epts
+            viewdir = viewdir / (jnp.linalg.norm(viewdir, axis=-1, keepdims=True) + 1e-10)
+            dots = jnp.sum(e_normal * viewdir, axis=-1)
+            ang_deg = jnp.degrees(jnp.arccos(jnp.clip(dots, -1.0, 1.0)))
+            res["edge_angles"] = scatter(zero, ang_deg).reshape(H, W)
+            res["edge_sdf"] = scatter(zero, e_sdf).reshape(H, W)
 
     return res

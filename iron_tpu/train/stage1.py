@@ -189,10 +189,38 @@ class Stage1Trainer:
                 self.save()
         return {k: float(v) for k, v in metrics.items()}
 
+    def render_novel_view(self, idx_0: int, idx_1: int, ratio: float,
+                          resolution_level: int = 4, chunk: int = 1024) -> np.ndarray:
+        """Render from a slerp-interpolated pose (render_volume.py:render_novel_image)."""
+        rays_o, rays_d = self.dataset.gen_rays_between(idx_0, idx_1, ratio,
+                                                       resolution_level)
+        return self._render_rays_grid(rays_o, rays_d, chunk)["color"]
+
+    def interpolate_view_video(self, idx_0: int, idx_1: int, out_path: str,
+                               n_frames: int = 60, resolution_level: int = 4,
+                               fps: int = 30) -> None:
+        """Ping-pong interpolation video (render_volume.py:815-848)."""
+        import cv2
+        frames = []
+        for i in range(n_frames):
+            ratio = np.sin(((i / n_frames) - 0.5) * np.pi) * 0.5 + 0.5
+            img = self.render_novel_view(idx_0, idx_1, ratio, resolution_level)
+            frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        frames = frames + frames[::-1]
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        for f in frames:
+            writer.write(f[:, :, ::-1])
+        writer.release()
+
     def render_image(self, img_idx: int, resolution_level: int = 4,
                      chunk: int = 1024) -> Dict[str, np.ndarray]:
         """Chunked full-image validation render (render_volume.py:645-756)."""
         rays_o, rays_d = self.dataset.gen_rays_grid(img_idx, resolution_level)
+        return self._render_rays_grid(rays_o, rays_d, chunk)
+
+    def _render_rays_grid(self, rays_o, rays_d, chunk: int = 1024) -> Dict[str, np.ndarray]:
         h, w = rays_o.shape[:2]
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)
@@ -201,19 +229,21 @@ class Stage1Trainer:
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], 0)
         rd = jnp.concatenate([rd, jnp.ones((pad, 3))], 0)
 
-        @jax.jit
-        def render_chunk(params, ro_c, rd_c):
-            near, far = near_far_from_sphere(ro_c, rd_c)
-            out = stage1_render(params, self.cfg, ro_c, rd_c, near, far,
-                                None, 1.0, None, perturb_overwrite=0.0)
-            n_s = out["weights"].shape[1]
-            grads = out["gradients"]
-            normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
-            return out["color_fine"], normal
+        if not hasattr(self, "_render_chunk"):
+            @jax.jit
+            def render_chunk(params, ro_c, rd_c):
+                near, far = near_far_from_sphere(ro_c, rd_c)
+                out = stage1_render(params, self.cfg, ro_c, rd_c, near, far,
+                                    None, 1.0, None, perturb_overwrite=0.0)
+                grads = out["gradients"]
+                normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
+                return out["color_fine"], normal
+
+            self._render_chunk = render_chunk
 
         colors, normals = [], []
         for i in range(0, ro.shape[0], chunk):
-            c, nm = render_chunk(self.params, ro[i:i + chunk], rd[i:i + chunk])
+            c, nm = self._render_chunk(self.params, ro[i:i + chunk], rd[i:i + chunk])
             colors.append(np.asarray(c))
             normals.append(np.asarray(nm))
         color = np.concatenate(colors)[:n].reshape(h, w, 3)

@@ -34,6 +34,46 @@ from iron_tpu.volume.sampling import sample_pdf, up_sample, cat_z_vals
 # nerf_fn:     (pts4 [..., 4], dirs [..., 3]) -> (density [..., 1], rgb [..., 3])
 
 
+def nerf_density_render(rays_o, rays_d, near, far, nerf_fn, n_samples: int,
+                        background_dist: float = 0.0, background_rgb=None,
+                        key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Plain density-field volume rendering (reference NeRFRenderer.render,
+    renderer.py:78-126): uniform z, softplus(density) -> alpha, transmittance
+    compositing over *unit-normalized* sample positions; returns color, depth
+    map and weights.  Used by the hash-grid NeRF runner
+    (render_volume_tcnn.py:63-111 equivalent)."""
+    batch_size = rays_o.shape[0]
+    near = jnp.reshape(near, (batch_size, 1))
+    far = jnp.reshape(far, (batch_size, 1))
+    z_vals = jnp.linspace(0.0, 1.0, n_samples)
+    z_vals = near + (far - near) * z_vals[None, :] + background_dist
+    if key is not None:
+        t_rand = jax.random.uniform(key, (batch_size, 1)) - 0.5
+        z_vals = z_vals + t_rand * (far - near) / n_samples
+
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, dists[..., :1]], axis=-1)
+    mid_z = z_vals + dists * 0.5
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
+    dis = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
+    pts_n = pts / dis
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+    density, sampled_color = nerf_fn(pts_n, dirs)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density[..., 0]) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((batch_size, 1)), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1)[:, :-1]
+    weights = alpha * trans
+    color = jnp.sum(weights[..., None] * sampled_color, axis=1)
+    zmap = jnp.sum(weights[..., None] * z_vals[..., None], axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
+    return {"color": color, "sampled_color": sampled_color, "zmap": zmap,
+            "weights": weights}
+
+
 @dataclass(frozen=True)
 class NeuSRenderConfig:
     n_samples: int = 64

@@ -1,0 +1,119 @@
+"""Aux subsystem tests: NeRF density renderer, hash-grid runner, debug
+buffers, job generation, visualization, profiling."""
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.volume.integrator import nerf_density_render
+from iron_tpu.data.synthetic import render_synthetic_dataset
+from iron_tpu.data.dataset import RayDataset
+
+
+def test_nerf_density_render_analytic():
+    """A dense absorbing ball renders its color with near-total opacity."""
+    def nerf_fn(pts, dirs):
+        inside = (jnp.linalg.norm(pts, axis=-1, keepdims=True) < 0.5)
+        density = jnp.where(inside, 50.0, -10.0)
+        rgb = jnp.broadcast_to(jnp.asarray([0.2, 0.5, 0.9]), pts.shape[:-1] + (3,))
+        return density, rgb
+
+    ray_o = jnp.asarray([[0.0, 0.0, 3.0]])
+    ray_d = jnp.asarray([[0.0, 0.0, -1.0]])
+    out = nerf_density_render(ray_o, ray_d, jnp.asarray([[2.0]]), jnp.asarray([[4.0]]),
+                              nerf_fn, n_samples=128)
+    w = float(jnp.sum(out["weights"]))
+    assert w > 0.98
+    np.testing.assert_allclose(np.asarray(out["color"][0]), [0.2, 0.5, 0.9], atol=0.02)
+
+
+def test_hash_nerf_trainer_learns():
+    from iron_tpu.train.nerf_runner import NeRFRunnerConfig, HashNeRFTrainer
+    from iron_tpu.fields.hashgrid import HashNeRFConfig, HashGridConfig
+
+    data = render_synthetic_dataset("sphere", n_views=4, H=32, W=32, light=30.0)
+    ds = RayDataset.from_arrays(data["images"], data["Ks"], data["W2Cs"],
+                                data["masks"])
+    cfg = NeRFRunnerConfig(
+        nerf=HashNeRFConfig(grid=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                                base_resolution=4, per_level_scale=2.0)),
+        n_samples=32, batch_size=256, end_iter=100, warm_up_end=10)
+    tr = HashNeRFTrainer(cfg, ds)
+    m0 = tr.run(5)
+    m1 = tr.run(60)
+    assert m1["loss"] < m0["loss"]
+    assert m1["psnr"] > m0["psnr"]
+
+
+def test_render_camera_debug_buffers():
+    from iron_tpu.core.camera import make_camera
+    from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 80.0
+    K[0, 2] = K[1, 2] = 32.0
+    W2C = np.eye(4, dtype=np.float32)
+    W2C[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    W2C[2, 3] = 3.0
+    cam = make_camera(K, W2C, 64, 64)
+    sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - 0.5
+
+    def sdf_all_fn(p):
+        n = jnp.linalg.norm(p, axis=-1)
+        return n - 0.5, jnp.zeros(p.shape[:-1] + (4,)), p / (n[..., None] + 1e-9)
+
+    shade = lambda ro, rd, pts, nrm, ft: {
+        "color": jnp.ones(pts.shape[:-1] + (3,)) * 0.5,
+        "normal": nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-10)}
+    res = render_camera(sdf_fn, sdf_all_fn, shade, cam,
+                        SurfaceRenderConfig(edge_budget=256), debug=True)
+    for k in ["depth_grad_norm", "depth_edge_mask", "edge_pos_side_weight",
+              "edge_pos_side_depth", "edge_neg_side_depth", "edge_pos_side_color",
+              "edge_neg_side_color", "edge_angles", "edge_sdf"]:
+        assert k in res, k
+    em = np.asarray(res["edge_mask"])
+    # edge angles near 90 deg where found
+    ang = np.asarray(res["edge_angles"])[em]
+    assert np.all(np.abs(ang - 90.0) < 5.0)
+
+
+def test_gen_jobs(tmp_path):
+    from iron_tpu.cli.gen_jobs import generate
+    paths = generate(["dragon", "pony"], "conf.json", "/data", "/exp",
+                     str(tmp_path), slurm=True)
+    assert len(paths) == 2
+    text = open(paths[0]).read()
+    assert "iron_tpu.cli.train_volume" in text and "#SBATCH" in text
+    assert os.path.exists(tmp_path / "submit_all.sh")
+
+
+def test_camera_plot_and_fresnel_plot(tmp_path):
+    from iron_tpu.utils.visualize import plot_cameras, plot_fresnel_terms
+    g = np.random.default_rng(0)
+    cams = {}
+    for i in range(3):
+        W2C = np.eye(4)
+        W2C[:3, 3] = g.normal(size=3)
+        cams[f"{i}.png"] = {"K": np.diag([100, 100, 1, 1]).astype(float),
+                            "W2C": W2C, "img_size": (64, 64)}
+    p1 = str(tmp_path / "cams.png")
+    plot_cameras({"train": cams}, p1)
+    assert os.path.getsize(p1) > 0
+    p2 = str(tmp_path / "fresnel.png")
+    plot_fresnel_terms(p2)
+    assert os.path.getsize(p2) > 0
+
+
+def test_timer_and_checkify():
+    from iron_tpu.utils.profiling import Timer, checkify_fn
+    t = Timer()
+    with t.section("a"):
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert "a" in t.summary()
+
+    err, out = checkify_fn(lambda x: jnp.log(x))(jnp.asarray(2.0))
+    err.throw()  # no error
+    np.testing.assert_allclose(float(out), np.log(2.0), rtol=1e-6)
