@@ -169,17 +169,23 @@ def shade_masked(sdf_all_fn, shade_fn, ray_o, ray_d, points, mask,
 
 def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                   cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
-                  is_training: bool = False, debug: bool = False) -> Dict:
+                  is_training: bool = False, debug: bool = False,
+                  trace_sdf_fn=None, trace_sdf_all_fn=None) -> Dict:
     """Top-level surface render (raytracer.py:778-814), jittable.
 
     sdf_fn:     pts [..., 3] -> sdf [...]
     sdf_all_fn: pts [..., 3] -> (sdf, feat, grad)
     shade_fn:   (ray_o, ray_d, points, normals, features) -> dict of buffers
+    trace_sdf_fn / trace_sdf_all_fn: optional cheaper evaluators used only on
+    the stop-gradient trace/walk paths (e.g. HIGH-precision matmuls or the
+    fused Pallas kernel); shading/gradients always use sdf_(all_)fn.
     Returns [H, W, ...] image buffers + edge diagnostics.
     """
+    trace_sdf_fn = trace_sdf_fn or sdf_fn
+    trace_sdf_all_fn = trace_sdf_all_fn or sdf_all_fn
     H, W = cam.H, cam.W
     uv = pixel_grid(H, W)
-    res = raytrace_pixels(sdf_fn, cam, uv, cfg=cfg)
+    res = raytrace_pixels(trace_sdf_fn, cam, uv, cfg=cfg)
     res["depth"] = res["depth"] * res["convergent_mask"]
 
     if cfg.fill_holes:
@@ -203,7 +209,7 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         sel, seed_valid = _select_topk_mask(depth_edge_mask.reshape(-1), cfg.edge_budget)
         seeds = res["points"].reshape(-1, 3)[sel]
         nograd_all = lambda p: jax.tree_util.tree_map(
-            jax.lax.stop_gradient, sdf_all_fn(p))
+            jax.lax.stop_gradient, trace_sdf_all_fn(p))
         walk = locate_edge_points(nograd_all, cam, seeds, seed_valid, cfg)
         dd = _dedupe_per_pixel(cam, walk)
         edge = {**walk, **dd}
@@ -246,7 +252,7 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         pos_w = 1.0 - (ang - jnp.sin(ang)) / (2.0 * jnp.pi)
 
         def side(uv_side):
-            r = raytrace_pixels(sdf_fn, cam, uv_side, mask=kept, cfg=cfg)
+            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept, cfg=cfg)
             s = shade_masked(sdf_all_fn, shade_fn, r["ray_o"], r["ray_d"],
                              r["points"], r["convergent_mask"] & kept, is_training)
             return r, s

@@ -41,11 +41,42 @@ class TracerConfig:
     # small budget covers them; the reference compacts dynamically instead
     # (raytracer.py:58-79).  None = run the fallback on the full tile.
     fallback_budget: int | None = 4096
+    # Two-phase tracing: run `dense_iters` sphere-trace steps on the full
+    # tile, then gather the still-active rays (same budget) for the
+    # remaining iterations.  Most rays converge or exit within ~8 steps;
+    # only grazing rays need the full 16 (raytracer.py:105-140 runs all 16
+    # on a shrinking compacted set instead).
+    dense_iters: int = 8
+
+
+def _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active0, acc0, sdf0, n_iters,
+                threshold):
+    """Masked sphere-trace iterations (raytracer.py:112-126)."""
+
+    def unfinished(mask, s, d):
+        return mask & (jnp.abs(s) > threshold) & (d < max_dis)
+
+    def cond(carry):
+        i, active, acc, s = carry
+        return (i < n_iters) & jnp.any(active)
+
+    def body(carry):
+        i, active, acc, s = carry
+        step = jnp.where(active, s, 0.0)
+        acc_new = acc + step
+        pts_new = ray_o + ray_d * acc_new[..., None]
+        s_new = jnp.where(active, sdf_fn(pts_new), s)
+        active_new = unfinished(active, s_new, acc_new)
+        return i + 1, active_new, acc_new, s_new
+
+    _, active, acc, s = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), active0, acc0, sdf0))
+    return active, acc, s
 
 
 def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
                  cfg: TracerConfig = TracerConfig()):
-    """Masked sphere tracing (raytracer.py:105-140).
+    """Two-phase masked sphere tracing (raytracer.py:105-140 semantics).
 
     Returns (convergent_mask, unfinished_mask, points, sdf, distance), all
     full-shape [...].
@@ -57,22 +88,38 @@ def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     def unfinished(mask, s, d):
         return mask & (jnp.abs(s) > cfg.sdf_threshold) & (d < max_dis)
 
-    def cond(carry):
-        i, active, acc, s = carry
-        return (i < cfg.sphere_tracing_iters) & jnp.any(active)
-
-    def body(carry):
-        i, active, acc, s = carry
-        step = jnp.where(active, s, 0.0)
-        acc_new = acc + step
-        pts_new = ray_o + ray_d * acc_new[..., None]
-        s_new = jnp.where(active, sdf_fn(pts_new), s)
-        active_new = unfinished(active, s_new, acc_new)
-        return i + 1, active_new, acc_new, s_new
-
     active0 = unfinished(work_mask, sdf_val, acc_dis)
-    _, active, acc_dis, sdf_val = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), active0, acc_dis, sdf_val))
+    phase1 = min(cfg.dense_iters, cfg.sphere_tracing_iters)
+    active, acc_dis, sdf_val = _trace_loop(
+        sdf_fn, ray_o, ray_d, max_dis, active0, acc_dis, sdf_val,
+        phase1, cfg.sdf_threshold)
+
+    rem = cfg.sphere_tracing_iters - phase1
+    K = cfg.fallback_budget
+    n_rays = int(np.prod(work_mask.shape))
+    if rem > 0 and K is not None and K < n_rays:
+        shape = work_mask.shape
+        act_f = active.reshape(-1)
+        order = jnp.argsort(jnp.where(act_f, 0, 1), stable=True)
+        sel = order[:K]
+        valid = act_f[sel]
+        ro_s = ray_o.reshape(-1, 3)[sel]
+        rd_s = ray_d.reshape(-1, 3)[sel]
+        md_s = jnp.broadcast_to(max_dis, shape).reshape(-1)[sel]
+        a_s, acc_s, s_s = _trace_loop(
+            sdf_fn, ro_s, rd_s, md_s, valid,
+            acc_dis.reshape(-1)[sel], sdf_val.reshape(-1)[sel],
+            rem, cfg.sdf_threshold)
+        active = active.reshape(-1).at[sel].set(
+            jnp.where(valid, a_s, active.reshape(-1)[sel])).reshape(shape)
+        acc_dis = acc_dis.reshape(-1).at[sel].set(
+            jnp.where(valid, acc_s, acc_dis.reshape(-1)[sel])).reshape(shape)
+        sdf_val = sdf_val.reshape(-1).at[sel].set(
+            jnp.where(valid, s_s, sdf_val.reshape(-1)[sel])).reshape(shape)
+    elif rem > 0:
+        active, acc_dis, sdf_val = _trace_loop(
+            sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
+            rem, cfg.sdf_threshold)
 
     pts = ray_o + ray_d * acc_dis[..., None]
     convergent = (work_mask & ~active

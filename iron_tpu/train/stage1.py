@@ -142,7 +142,7 @@ class Stage1Trainer:
 
         dataset_ref = self.dataset
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, step, key):
             k_img, k_ray, k_render = jax.random.split(key, 3)
             img_idx = jax.random.randint(k_img, (), 0, dataset_ref.n_images)

@@ -62,6 +62,10 @@ class Stage2Config:
     init_light_scale: float = 8.0
     sdf_lr: float = 1e-5
     use_env_light: bool = False
+    # matmul precision for the stop-gradient trace/walk paths; training
+    # forwards stay at cfg.sdf.precision ('highest').  'high' (bf16x3) is
+    # ~30% faster with ~2e-4 SDF error — well under a pixel footprint.
+    trace_precision: str = "high"
     surface: SurfaceRenderConfig = field(default_factory=SurfaceRenderConfig)
     sdf: SDFConfig = field(default_factory=SDFConfig)
     save_freq: int = 1000
@@ -109,14 +113,19 @@ def _gamma(x):
 
 def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
                 gt_crop: jnp.ndarray, key) -> Tuple[jnp.ndarray, Dict]:
+    import dataclasses as _dc
     sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
     sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    trace_cfg = _dc.replace(cfg.sdf, precision=cfg.trace_precision)
+    trace_sdf_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
+    trace_sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
     shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
         normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
 
     res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
-                        is_training=True)
+                        is_training=True, trace_sdf_fn=trace_sdf_fn,
+                        trace_sdf_all_fn=trace_sdf_all_fn)
 
     color = res["color"]
     if cfg.gamma_pred:
@@ -196,7 +205,9 @@ class Stage2Trainer:
         ps = cfg.patch_size
         mat_cfgs = self.mat_cfgs
 
-        @jax.jit
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, key, img_idx, ul_col, ul_row):
             k_eik, = jax.random.split(key, 1)
             K = self.Ks[img_idx]
@@ -252,20 +263,35 @@ class Stage2Trainer:
 
     def render_full(self, img_idx: int, factor: float = 1.0,
                     is_training: bool = False) -> Dict[str, np.ndarray]:
-        """Full-frame render for validation / render_all."""
+        """Full-frame render for validation / render_all.  The jitted render
+        is cached per output resolution so render_all reuses one program for
+        every camera (the eval shapes are fixed per dataset, SURVEY §7.4.7)."""
         from iron_tpu.core.camera import resize_camera
         K = np.asarray(self.Ks[img_idx])
         W2C = np.asarray(self.W2Cs[img_idx])
         cam = make_camera(K, W2C, self.H, self.W)
         if factor != 1.0:
             cam = resize_camera(cam, factor)
-        sdf_fn = lambda p: sdf_only(self.params["sdf"], p, self.cfg.sdf)
-        sdf_all_fn = lambda p: sdf_value_feat_grad(self.params["sdf"], p, self.cfg.sdf)
-        shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
-            self.cfg.renderer_name, self.params["materials"], self.mat_cfgs,
-            ray_o, ray_d, pts, normals, feats, is_metal=self.cfg.is_metal,
-            use_env_light=self.cfg.use_env_light)
-        res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, self.cfg.surface,
-                            is_training=is_training)
+
+        if not hasattr(self, "_render_full_cache"):
+            self._render_full_cache = {}
+        key = (cam.H, cam.W, bool(is_training))
+        if key not in self._render_full_cache:
+            cfg = self.cfg
+            mat_cfgs = self.mat_cfgs
+
+            @jax.jit
+            def run(params, cam):
+                sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
+                sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+                shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
+                    cfg.renderer_name, params["materials"], mat_cfgs,
+                    ray_o, ray_d, pts, normals, feats, is_metal=cfg.is_metal,
+                    use_env_light=cfg.use_env_light)
+                return render_camera(sdf_fn, sdf_all_fn, shade_fn, cam,
+                                     cfg.surface, is_training=is_training)
+
+            self._render_full_cache[key] = run
+        res = self._render_full_cache[key](self.params, cam)
         return {k: np.asarray(v) for k, v in res.items()
                 if isinstance(v, jnp.ndarray)}
