@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--num_iters", type=int, default=None)
     p.add_argument("--mcube_resolution", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init_ckpt_dir", default=None,
+                   help="warm-start params from another experiment's latest "
+                        "checkpoint (env<->flash handoff, model_volume.py:134-159)")
     args = p.parse_args(argv)
 
     from iron_tpu.config import load_config_file, stage1_config_from_dict
@@ -44,6 +47,15 @@ def main(argv=None):
     ds = RayDataset.from_folder(data_dir, folder_name=folder)
     trainer = Stage1Trainer(cfg, ds, out_dir=out_dir)
     start = trainer.resume()
+    if start == 0 and args.init_ckpt_dir:
+        from iron_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
+        import jax.numpy as jnp
+        import jax as _jax
+        path = latest_checkpoint(args.init_ckpt_dir)
+        if path:
+            ck = load_checkpoint(path)
+            trainer.params = _jax.tree_util.tree_map(jnp.asarray, ck["params"])
+            print(f"[stage1] warm-started from {path}")
     print(f"[stage1] dataset {ds.n_images} images {ds.hw}; resume step {start}")
 
     if args.mode == "validate_image":

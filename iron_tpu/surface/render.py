@@ -57,6 +57,10 @@ class SurfaceRenderConfig:
     edge_dot_threshold: float = 5e-2  # raytracer.py:580
     depth_edge_threshold: float = 1e-2  # raytracer.py:570
     hole_depth_threshold: float = 1e-2  # raytracer.py:558
+    # fallback-sampler budget for the two edge side-trace passes: side rays
+    # graze the silhouette so proportionally more need the dense fallback,
+    # but a full-tile fallback over all edge_budget rays is still wasteful.
+    edge_side_fallback_budget: int = 512
 
 
 def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
@@ -251,8 +255,13 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         ang = 2.0 * jnp.arccos(jnp.clip(dot2d / pixel_radius, 0.0, 1.0))
         pos_w = 1.0 - (ang - jnp.sin(ang)) / (2.0 * jnp.pi)
 
+        import dataclasses as _dc
+        side_cfg = _dc.replace(
+            cfg, tracer=_dc.replace(cfg.tracer,
+                                    fallback_budget=cfg.edge_side_fallback_budget))
+
         def side(uv_side):
-            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept, cfg=cfg)
+            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept, cfg=side_cfg)
             s = shade_masked(sdf_all_fn, shade_fn, r["ray_o"], r["ray_d"],
                              r["points"], r["convergent_mask"] & kept, is_training)
             return r, s

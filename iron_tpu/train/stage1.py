@@ -59,6 +59,10 @@ class Stage1Config:
     save_freq: int = 10000
     val_freq: int = 500
     report_freq: int = 100
+    # matmul precision for the stop-gradient importance-sampling SDF sweeps
+    # (renderer.py:389 runs them under no_grad); the differentiable
+    # render_core pass stays at sdf.precision.
+    upsample_precision: str = "high"
     sdf: SDFConfig = field(default_factory=SDFConfig)
     nerf: NeRFConfig = field(default_factory=NeRFConfig)
     color: RenderingConfig = STAGE1_COLOR
@@ -79,7 +83,9 @@ def init_stage1_params(key, cfg: Stage1Config) -> Dict:
 
 def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
                   key, cos_anneal, background_rgb=None, perturb_overwrite=-1.0):
-    sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
+    import dataclasses as _dc
+    up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
+    sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
     sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
         params["color"], cfg.color, pts, grads, dirs, feat)
