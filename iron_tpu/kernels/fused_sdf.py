@@ -114,7 +114,7 @@ def make_pallas_sdf_fn(params: dict, cfg: SDFConfig = SDFConfig(),
         grid = (xf.shape[0] // tile,)
 
         in_specs = [pl.BlockSpec((tile, 3), lambda i: (i, 0),
-                                 memory_space=pltpu.ANY if False else pltpu.VMEM)]
+                                 memory_space=pltpu.VMEM)]
         for w in Ws:
             in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))

@@ -40,13 +40,13 @@ class TracerConfig:
     # only grazing rays unfinished (misses exit via acc_dis >= max_dis), so a
     # small budget covers them; the reference compacts dynamically instead
     # (raytracer.py:58-79).  None = run the fallback on the full tile.
-    fallback_budget: int | None = 4096
+    fallback_budget: int | None = 2048
     # Two-phase tracing: run `dense_iters` sphere-trace steps on the full
     # tile, then gather the still-active rays (same budget) for the
     # remaining iterations.  Most rays converge or exit within ~8 steps;
     # only grazing rays need the full 16 (raytracer.py:105-140 runs all 16
     # on a shrinking compacted set instead).
-    dense_iters: int = 8
+    dense_iters: int = 6
 
 
 def _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active0, acc0, sdf0, n_iters,

@@ -1,4 +1,5 @@
 from iron_tpu.train.schedules import warmup_cosine_schedule, cos_anneal_ratio
-from iron_tpu.train.checkpoints import save_checkpoint, load_checkpoint, latest_checkpoint, stage1_to_stage2
+from iron_tpu.train.checkpoints import (save_checkpoint, load_checkpoint, latest_checkpoint,
+                                        stage1_to_stage2, AsyncCheckpointer)
 from iron_tpu.train.stage1 import Stage1Config, Stage1Trainer
 from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer

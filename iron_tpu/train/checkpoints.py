@@ -52,6 +52,55 @@ def load_checkpoint(path: str) -> Dict:
         return pickle.load(f)
 
 
+class AsyncCheckpointer:
+    """Non-blocking checkpointing via orbax (SURVEY §5: orbax async
+    checkpointing + preemption-tolerant resume is the TPU-native
+    equivalent of the reference's torch.save/restart model).
+
+    Saves run in orbax's background thread; `wait()` (or the next save)
+    joins the previous one.  Directory layout: <out_dir>/orbax/<step>/.
+    """
+
+    def __init__(self, out_dir: str):
+        import orbax.checkpoint as ocp
+        self.root = os.path.join(os.path.abspath(out_dir), "orbax")
+        os.makedirs(self.root, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, step: int, params: Any, extra: Optional[Dict] = None) -> str:
+        path = os.path.join(self.root, f"{step:07d}")
+        payload = {"params": params, "extra": extra or {"step": step}}
+        self._ckptr.save(path, args=self._args(payload))
+        return path
+
+    def _args(self, payload):
+        import orbax.checkpoint as ocp
+        return ocp.args.StandardSave(payload)
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        steps = [int(p) for p in os.listdir(self.root)
+                 if p.isdigit() and os.path.isdir(os.path.join(self.root, p))]
+        return max(steps) if steps else None
+
+    def restore(self, step: Optional[int] = None) -> Optional[Dict]:
+        import orbax.checkpoint as ocp
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        self.wait()
+        path = os.path.join(self.root, f"{step:07d}")
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path)
+
+    def close(self):
+        self.wait()
+        self._ckptr.close()
+
+
 def stage1_to_stage2(stage1_params: Dict, stage2_params: Dict,
                      load_diffuse_albedo: bool = True) -> Dict:
     """Map stage-1 {sdf, color, ...} into stage-2 {sdf, materials}

@@ -22,6 +22,7 @@ reuses one compiled program.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -205,9 +206,7 @@ class Stage2Trainer:
         ps = cfg.patch_size
         mat_cfgs = self.mat_cfgs
 
-        from functools import partial as _partial
-
-        @_partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, key, img_idx, ul_col, ul_row):
             k_eik, = jax.random.split(key, 1)
             K = self.Ks[img_idx]

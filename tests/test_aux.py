@@ -117,3 +117,18 @@ def test_timer_and_checkify():
     err, out = checkify_fn(lambda x: jnp.log(x))(jnp.asarray(2.0))
     err.throw()  # no error
     np.testing.assert_allclose(float(out), np.log(2.0), rtol=1e-6)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    from iron_tpu.train.checkpoints import AsyncCheckpointer
+    ck = AsyncCheckpointer(str(tmp_path))
+    tree = {"w": np.arange(6).reshape(2, 3).astype(np.float32),
+            "b": {"x": np.ones(4, np.float32)}}
+    ck.save(10, tree)
+    ck.save(20, tree)
+    ck.wait()
+    assert ck.latest_step() == 20
+    out = ck.restore()
+    np.testing.assert_array_equal(out["params"]["w"], tree["w"])
+    assert out["extra"]["step"] == 20
+    ck.close()
