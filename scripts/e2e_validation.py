@@ -1,0 +1,141 @@
+"""End-to-end two-stage pipeline validation with quality metrics.
+
+Renders a synthetic co-located-flash dataset from an analytic SDF (the
+golden-oracle renderer), trains stage 1 -> converts -> trains stage 2,
+then reports:
+  * held-out view PSNR/SSIM (render vs golden GT),
+  * Chamfer distance of the exported mesh vs the GT mesh,
+  * light-intensity recovery error,
+and writes a JSON report + validation mosaics.
+
+This is the quality gate (BASELINE.md: "PSNR + Chamfer parity") run on
+self-contained data; with real scene data the same flow applies via the
+CLIs.  Usage:  python scripts/e2e_validation.py [--fast] [--out_dir D]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out_dir", default="./exp_e2e_validation")
+    p.add_argument("--fast", action="store_true", help="tiny iteration counts")
+    p.add_argument("--scene", default="blobby", choices=["sphere", "blobby"])
+    p.add_argument("--stage1_iters", type=int, default=3000)
+    p.add_argument("--stage2_iters", type=int, default=1500)
+    p.add_argument("--res", type=int, default=128)
+    args = p.parse_args()
+    if args.fast:
+        args.stage1_iters, args.stage2_iters, args.res = 300, 150, 64
+
+    from iron_tpu.data.synthetic import render_synthetic_dataset
+    from iron_tpu.data.dataset import RayDataset
+    from iron_tpu.data.io import write_image
+    from iron_tpu.train.stage1 import Stage1Config, Stage1Trainer
+    from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer
+    from iron_tpu.train.checkpoints import stage1_to_stage2
+    from iron_tpu.volume.integrator import NeuSRenderConfig
+    from iron_tpu.surface.render import SurfaceRenderConfig
+    from iron_tpu.fields.sdf import SDFConfig, sdf_only
+    from iron_tpu.export.mesh import extract_geometry, largest_component
+    from iron_tpu.eval.metrics import psnr_np, ssim_np, chamfer_distance
+    from iron_tpu.utils.logging import concatenate_result
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    t_start = time.time()
+    report = {"scene": args.scene, "res": args.res,
+              "stage1_iters": args.stage1_iters, "stage2_iters": args.stage2_iters}
+
+    # ---- golden data ----
+    n_views = 14
+    light_gt = 30.0
+    data = render_synthetic_dataset(args.scene, n_views=n_views, H=args.res,
+                                    W=args.res, light=light_gt)
+    train_idx = list(range(0, n_views - 2))
+    test_idx = [n_views - 2, n_views - 1]
+    ds = RayDataset.from_arrays(data["images"][train_idx], data["Ks"][train_idx],
+                                data["W2Cs"][train_idx], data["masks"][train_idx])
+    gt_verts, gt_tris = extract_geometry(lambda p: -data["sdf_fn"](p), resolution=128)
+    gt_verts, gt_tris = largest_component(gt_verts, gt_tris)
+    print(f"[data] {n_views} views, GT mesh {len(gt_verts)} verts", flush=True)
+
+    # ---- stage 1 ----
+    s1_cfg = Stage1Config(
+        end_iter=args.stage1_iters, warm_up_end=max(args.stage1_iters // 20, 10),
+        anneal_end=args.stage1_iters // 2, batch_size=512,
+        sdf=SDFConfig(bias=0.3),  # deliberately wrong init radius
+        render=NeuSRenderConfig(n_samples=48, n_importance=48, n_outside=0,
+                                up_sample_steps=4, perturb=1.0))
+    t0 = time.time()
+    s1 = Stage1Trainer(s1_cfg, ds)
+    m1 = s1.run(num_iters=args.stage1_iters, log_every=max(args.stage1_iters // 5, 1))
+    report["stage1"] = {**m1, "wall_s": time.time() - t0,
+                        "iters_per_s": args.stage1_iters / (time.time() - t0)}
+    print(f"[stage1] {report['stage1']}", flush=True)
+
+    # ---- stage 2 ----
+    s2_cfg = Stage2Config(
+        renderer_name="ggx", patch_size=min(args.res, 128),
+        num_iters=args.stage2_iters,
+        surface=SurfaceRenderConfig(edge_budget=1024), save_freq=10 ** 9)
+    t0 = time.time()
+    s2 = Stage2Trainer(s2_cfg, data["images"][train_idx], data["Ks"][train_idx],
+                       data["W2Cs"][train_idx], stage1_params=s1.params)
+    m2 = s2.run(num_iters=args.stage2_iters, log_every=max(args.stage2_iters // 5, 1))
+    report["stage2"] = {**m2, "wall_s": time.time() - t0,
+                        "rays_per_s": args.stage2_iters * s2_cfg.patch_size ** 2
+                        / (time.time() - t0)}
+    print(f"[stage2] {report['stage2']}", flush=True)
+
+    light_rec = float(s2.params["materials"]["point_light_network"]["light"])
+    report["light"] = {"gt": light_gt, "recovered": light_rec,
+                       "rel_err": abs(light_rec - light_gt) / light_gt}
+
+    # ---- held-out view quality ----
+    psnrs, ssims = [], []
+    full_ds_imgs = data["images"]
+    s2_all = Stage2Trainer(s2_cfg, data["images"], data["Ks"], data["W2Cs"])
+    s2_all.params = s2.params
+    mosaics = []
+    for ti in test_idx:
+        res = s2_all.render_full(ti, factor=1.0)
+        pred = np.clip(res["color"], 0, 1)
+        gt = np.clip(full_ds_imgs[ti], 0, 1)
+        psnrs.append(psnr_np(pred, gt))
+        ssims.append(ssim_np(pred, gt))
+        normal = res["normal"]
+        normal = normal / (np.linalg.norm(normal, axis=-1, keepdims=True) + 1e-10)
+        mosaics += [gt, pred, (normal + 1) / 2]
+    write_image(os.path.join(args.out_dir, "testviews.png"),
+                concatenate_result(mosaics, 3))
+    report["test_psnr"] = float(np.mean(psnrs))
+    report["test_ssim"] = float(np.mean(ssims))
+    print(f"[quality] PSNR {report['test_psnr']:.2f}  SSIM {report['test_ssim']:.4f}",
+          flush=True)
+
+    # ---- geometry quality ----
+    rec_verts, rec_tris = extract_geometry(
+        lambda p: -sdf_only(s2.params["sdf"], p, s2_cfg.sdf), resolution=128)
+    rec_verts, rec_tris = largest_component(rec_verts, rec_tris)
+    report["chamfer"] = chamfer_distance(rec_verts, rec_tris, gt_verts, gt_tris)
+    print(f"[geometry] chamfer {report['chamfer']:.5f} "
+          f"({len(rec_verts)} verts)", flush=True)
+
+    report["total_wall_s"] = time.time() - t_start
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k in ("test_psnr", "test_ssim", "chamfer", "light")}))
+
+
+if __name__ == "__main__":
+    main()
