@@ -148,8 +148,7 @@ class Stage1Trainer:
 
         dataset_ref = self.dataset
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, step, key):
+        def one_step(params, opt_state, step, key):
             k_img, k_ray, k_render = jax.random.split(key, 3)
             img_idx = jax.random.randint(k_img, (), 0, dataset_ref.n_images)
             batch = dataset_ref.gen_random_rays(k_ray, img_idx, cfg.batch_size)
@@ -160,7 +159,22 @@ class Stage1Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        self._train_step = train_step
+        self._train_step = jax.jit(one_step, donate_argnums=(0, 1))
+
+        # multi-step variant: lax.scan over `chunk` steps amortizes the
+        # host->device dispatch (critical on remote/tunneled chips)
+        def train_steps(params, opt_state, step0, key, chunk):
+            def body(carry, i):
+                p, o = carry
+                p, o, m = one_step(p, o, step0 + i, jax.random.fold_in(key, i))
+                return (p, o), m
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(chunk))
+            last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return params, opt_state, last
+
+        self._train_steps = jax.jit(train_steps, donate_argnums=(0, 1),
+                                    static_argnums=(4,))
 
     def resume(self) -> int:
         if self.out_dir:
@@ -178,15 +192,28 @@ class Stage1Trainer:
             save_checkpoint(self.out_dir, self.step, self.params, self.opt_state)
 
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
-            seed: int = 0) -> Dict:
+            seed: int = 0, steps_per_call: int = 16) -> Dict:
         n = num_iters if num_iters is not None else (self.cfg.end_iter - self.step)
         key = jax.random.PRNGKey(seed)
         metrics = {}
-        for _ in range(n):
+        done = 0
+        while done < n:
             key, sub = jax.random.split(key)
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, self.step, sub)
-            self.step += 1
+            # bound the chunk so log/save cadence is respected
+            chunk = min(steps_per_call, n - done)
+            if log_every:
+                chunk = min(chunk, log_every - self.step % log_every)
+            if self.out_dir:
+                chunk = min(chunk, self.cfg.save_freq - self.step % self.cfg.save_freq)
+            chunk = max(chunk, 1)
+            if chunk > 1:
+                self.params, self.opt_state, metrics = self._train_steps(
+                    self.params, self.opt_state, self.step, sub, int(chunk))
+            else:
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, self.step, sub)
+            self.step += chunk
+            done += chunk
             if log_every and self.step % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"[stage1 {self.step}] " +

@@ -206,8 +206,7 @@ class Stage2Trainer:
         ps = cfg.patch_size
         mat_cfgs = self.mat_cfgs
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, key, img_idx, ul_col, ul_row):
+        def one_step(params, opt_state, key, img_idx, ul_col, ul_row):
             k_eik, = jax.random.split(key, 1)
             K = self.Ks[img_idx]
             W2C = self.W2Cs[img_idx]
@@ -222,7 +221,31 @@ class Stage2Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        self._train_step = train_step
+        self._train_step = jax.jit(one_step, donate_argnums=(0, 1))
+
+        n_imgs = self.images.shape[0]
+        max_col = max(self.W - ps, 1)
+        max_row = max(self.H - ps, 1)
+
+        def train_steps(params, opt_state, key, chunk):
+            """lax.scan over `chunk` steps with device-side crop sampling —
+            amortizes host dispatch on remote/tunneled chips."""
+            def body(carry, i):
+                p, o = carry
+                sub = jax.random.fold_in(key, i)
+                k_i, k_c, k_r, k_s = jax.random.split(sub, 4)
+                idx = jax.random.randint(k_i, (), 0, n_imgs)
+                ul_col = jax.random.randint(k_c, (), 0, max_col)
+                ul_row = jax.random.randint(k_r, (), 0, max_row)
+                p, o, m = one_step(p, o, k_s, idx, ul_col, ul_row)
+                return (p, o), m
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(chunk))
+            last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return params, opt_state, last
+
+        self._train_steps = jax.jit(train_steps, donate_argnums=(0, 1),
+                                    static_argnums=(3,))
 
     def resume(self) -> int:
         if self.out_dir:
@@ -238,20 +261,23 @@ class Stage2Trainer:
             save_checkpoint(self.out_dir, self.step, self.params)
 
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
-            seed: int = 0) -> Dict:
+            seed: int = 0, steps_per_call: int = 8) -> Dict:
         n = num_iters if num_iters is not None else (self.cfg.num_iters - self.step)
-        rng = np.random.default_rng(seed)
-        ps = self.cfg.patch_size
         key = jax.random.PRNGKey(seed + 1)
         metrics = {}
-        for _ in range(n):
+        done = 0
+        while done < n:
             key, sub = jax.random.split(key)
-            idx = int(rng.integers(0, self.images.shape[0]))
-            ul_col = int(rng.integers(0, max(self.W - ps, 1)))
-            ul_row = int(rng.integers(0, max(self.H - ps, 1)))
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, sub, idx, ul_col, ul_row)
-            self.step += 1
+            chunk = min(steps_per_call, n - done)
+            if log_every:
+                chunk = min(chunk, log_every - self.step % log_every)
+            if self.out_dir:
+                chunk = min(chunk, self.cfg.save_freq - self.step % self.cfg.save_freq)
+            chunk = max(chunk, 1)
+            self.params, self.opt_state, metrics = self._train_steps(
+                self.params, self.opt_state, sub, int(chunk))
+            self.step += chunk
+            done += chunk
             if log_every and self.step % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f"[stage2 {self.step}] " +

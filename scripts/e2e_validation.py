@@ -69,10 +69,12 @@ def main():
     print(f"[data] {n_views} views, GT mesh {len(gt_verts)} verts", flush=True)
 
     # ---- stage 1 ----
+    # geometric-init sphere at the reference's default bias 0.5 — the
+    # "objects inside the unit sphere" convention the data generator follows
     s1_cfg = Stage1Config(
         end_iter=args.stage1_iters, warm_up_end=max(args.stage1_iters // 20, 10),
         anneal_end=args.stage1_iters // 2, batch_size=512,
-        sdf=SDFConfig(bias=0.3),  # deliberately wrong init radius
+        sdf=SDFConfig(bias=0.5),
         render=NeuSRenderConfig(n_samples=48, n_importance=48, n_outside=0,
                                 up_sample_steps=4, perturb=1.0))
     t0 = time.time()
