@@ -49,6 +49,58 @@ def transform_pose(W2C: np.ndarray, translate: np.ndarray, scale: float) -> np.n
     return np.linalg.inv(C2W).astype(np.float32)
 
 
+def load_K_Rt_from_P(P: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Decompose a 3x4 projection matrix into (K [4,4], C2W [4,4]) via RQ
+    decomposition (reference models/dataset.py:18-39, NeuS convention:
+    K normalized by K[2,2], pose returned camera-to-world)."""
+    P = np.asarray(P, np.float64)[:3, :4]
+    M = P[:3, :3]
+    # RQ decomposition via flipped QR
+    rev = np.flipud(np.eye(3))
+    q, r = np.linalg.qr((rev @ M).T)
+    K = rev @ r.T @ rev
+    R = rev @ q.T
+    # enforce positive diagonal of K
+    s = np.diag(np.sign(np.diag(K)))
+    K = K @ s
+    R = s @ R
+    if np.linalg.det(R) < 0:
+        R = -R
+    t = np.linalg.inv(K) @ P[:3, 3]
+    K = K / K[2, 2]
+    K4 = np.eye(4)
+    K4[:3, :3] = K
+    pose = np.eye(4)
+    pose[:3, :3] = R.T
+    pose[:3, 3] = -R.T @ t
+    return K4.astype(np.float32), pose.astype(np.float32)
+
+
+def load_transforms_json(path: str, H: int, W: int) -> Dict[str, Dict]:
+    """Convert an instant-ngp / NeRF-synthetic `transforms.json` into the
+    cam-dict format (reference models/dataset.py:254-270 load_TCNN_dict):
+    K from camera_angle_x; W2C from the inverse transform_matrix with the
+    OpenGL->OpenCV axis flip (y,z negated)."""
+    with open(path) as f:
+        meta = json.load(f)
+    focal = 0.5 * W / np.tan(0.5 * meta["camera_angle_x"])
+    K = np.eye(4, dtype=np.float64)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2], K[1, 2] = W / 2.0, H / 2.0
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    out = {}
+    for fr in meta["frames"]:
+        c2w_gl = np.asarray(fr["transform_matrix"], np.float64)
+        c2w = c2w_gl @ flip  # rotate camera axes into OpenCV convention
+        name = os.path.basename(fr["file_path"])
+        if "." not in name:
+            name += ".png"
+        out[name] = {"K": K.astype(np.float32).copy(),
+                     "W2C": np.linalg.inv(c2w).astype(np.float32),
+                     "img_size": (W, H)}
+    return out
+
+
 def normalize_cam_dict(in_path: str, out_path: str, target_radius: float = 1.0) -> None:
     """Rewrite a cam dict with normalized poses (normalize_cam_dict.py:59-95)."""
     with open(in_path) as f:

@@ -133,6 +133,51 @@ def hash_sdf_value_feat_grad(params, x, cfg: HashSDFConfig):
     return out[..., 0], out[..., 1:], grad
 
 
+# ---- hash-grid rendering head (TCNNRendering equivalent) ----
+
+@dataclass(frozen=True)
+class HashRenderingConfig:
+    grid: HashGridConfig = field(default_factory=HashGridConfig)
+    d_feature: int = 15
+    d_hidden: int = 64
+    n_layers: int = 2
+    d_out: int = 3
+    multires_view: int = 4
+    squeeze_out: bool = True
+
+
+def init_hash_rendering(key, cfg: HashRenderingConfig) -> Dict:
+    from iron_tpu.core.embedder import pe_dim
+    k_grid, k_mlp = jax.random.split(key)
+    params = {"grid": init_hashgrid(k_grid, cfg.grid), "layers": []}
+    d_in = cfg.grid.out_dim + 3 + 3 + pe_dim(cfg.multires_view, 3) + cfg.d_feature
+    dims = [d_in] + [cfg.d_hidden] * cfg.n_layers + [cfg.d_out]
+    keys = jax.random.split(k_mlp, len(dims) - 1)
+    for l in range(len(dims) - 1):
+        bound = 1.0 / np.sqrt(dims[l])
+        params["layers"].append({
+            "w": jax.random.uniform(keys[l], (dims[l], dims[l + 1]), jnp.float32,
+                                    -bound, bound),
+            "b": jnp.zeros((dims[l + 1],), jnp.float32)})
+    return params
+
+
+def hash_rendering_apply(params: Dict, cfg: HashRenderingConfig, points,
+                         normals, view_dirs, features) -> jnp.ndarray:
+    """Hash-encoded material/color head (tcnn_fields.py TCNNRendering
+    equivalent): inputs hash(points) + normals + PE(viewdirs) + features."""
+    from iron_tpu.core.embedder import positional_encoding
+    enc = hashgrid_encode(params["grid"], points, cfg.grid)
+    v = positional_encoding(view_dirs, cfg.multires_view)
+    h = jnp.concatenate([points, enc, normals, v, features], axis=-1)
+    n = len(params["layers"])
+    for l, lay in enumerate(params["layers"]):
+        h = jnp.dot(h, lay["w"]) + lay["b"]
+        if l < n - 1:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h) if cfg.squeeze_out else h
+
+
 # ---- hash-grid NeRF (TCNNNeRF equivalent) ----
 
 @dataclass(frozen=True)

@@ -92,3 +92,41 @@ def test_config_substitution_and_mapping(tmp_path):
     assert cfg.color.n_layers == 8
     assert cfg.nerf.multires == 10
     assert cfg.variance_init == 0.3
+
+
+def test_load_K_Rt_from_P_roundtrip():
+    from iron_tpu.data.cameras import load_K_Rt_from_P
+    g = np.random.default_rng(0)
+    K = np.eye(3)
+    K[0, 0], K[1, 1] = 120.0, 115.0
+    K[0, 2], K[1, 2] = 64.0, 60.0
+    q, _ = np.linalg.qr(g.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q = -q
+    t = g.normal(size=3)
+    W2C = np.eye(4)
+    W2C[:3, :3] = q
+    W2C[:3, 3] = t
+    P = K @ W2C[:3, :4]
+    K_out, pose_out = load_K_Rt_from_P(P)
+    np.testing.assert_allclose(K_out[:3, :3], K, atol=1e-4)
+    np.testing.assert_allclose(pose_out, np.linalg.inv(W2C), atol=1e-4)
+
+
+def test_load_transforms_json(tmp_path):
+    from iron_tpu.data.cameras import load_transforms_json
+    import math
+    meta = {
+        "camera_angle_x": math.pi / 3,
+        "frames": [{"file_path": "./train/r_0",
+                    "transform_matrix": np.eye(4).tolist()}],
+    }
+    p = tmp_path / "transforms.json"
+    json.dump(meta, open(p, "w"))
+    cams = load_transforms_json(str(p), H=100, W=200)
+    assert "r_0.png" in cams
+    K = cams["r_0.png"]["K"]
+    np.testing.assert_allclose(K[0, 0], 0.5 * 200 / math.tan(math.pi / 6), rtol=1e-6)
+    # identity GL pose looks down -z; OpenCV W2C must flip y/z
+    W2C = cams["r_0.png"]["W2C"]
+    np.testing.assert_allclose(W2C[:3, :3], np.diag([1.0, -1.0, -1.0]), atol=1e-6)

@@ -175,3 +175,27 @@ def test_nerf_parity_with_reference():
 def test_variance_network():
     p = init_variance(0.3)
     np.testing.assert_allclose(float(variance_apply(p)), np.exp(3.0), rtol=1e-6)
+
+
+@need_ref
+def test_nerf_dual_parity_with_reference():
+    from oracle import import_reference, nerf_params_from_torch
+    import_reference()
+    import torch
+    from models.fields import NeRFdual
+
+    torch.manual_seed(0)
+    net = NeRFdual(D=8, W=256, d_in=4, d_in_view=3, multires=10, multires_view=4,
+                   skips=[4], use_viewdirs=True)
+    params = nerf_params_from_torch(net, dual=True)
+    cfg = NeRFConfig(dual=True)
+
+    g = np.random.default_rng(5)
+    pts = g.normal(size=(8, 4)).astype(np.float32)
+    views = g.normal(size=(8, 3)).astype(np.float32)
+    with torch.no_grad():
+        a_ref, rgb_ref, nir_ref = net(torch.from_numpy(pts), torch.from_numpy(views))
+    a, rgb, nir = nerf_apply(params, cfg, jnp.asarray(pts), jnp.asarray(views))
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref.numpy(), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(nir), nir_ref.numpy(), atol=1e-5, rtol=1e-4)

@@ -93,3 +93,17 @@ def test_hash_nerf_apply():
     sigma, rgb = hash_nerf_apply(params, cfg, pts, views)
     assert sigma.shape == (16, 1) and rgb.shape == (16, 3)
     assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
+
+
+def test_hash_rendering_head():
+    from iron_tpu.fields.hashgrid import (HashRenderingConfig, init_hash_rendering,
+                                          hash_rendering_apply)
+    cfg = HashRenderingConfig(grid=_small_grid(), d_feature=8)
+    params = init_hash_rendering(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)
+    nrm = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+    view = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    feat = jax.random.normal(jax.random.PRNGKey(4), (16, 8))
+    out = hash_rendering_apply(params, cfg, pts, nrm, view, feat)
+    assert out.shape == (16, 3)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
