@@ -64,9 +64,11 @@ def concatenate_result(image_list: List[np.ndarray], imarray_length: int = 3
 
 
 class ExperimentDir:
-    """Experiment directory with an args.txt snapshot (render_surface.py:105)."""
+    """Experiment directory with an args.txt snapshot (render_surface.py:105)
+    and optional source-code backup (render_volume.py:565-576)."""
 
-    def __init__(self, out_dir: str, args: Optional[Dict] = None):
+    def __init__(self, out_dir: str, args: Optional[Dict] = None,
+                 backup_code: bool = False):
         self.path = out_dir
         os.makedirs(out_dir, exist_ok=True)
         if args is not None:
@@ -74,7 +76,22 @@ class ExperimentDir:
                 json.dump({k: (v if isinstance(v, (int, float, str, bool, list,
                                                   tuple, type(None))) else str(v))
                            for k, v in args.items()}, f, indent=2, sort_keys=True)
+        if backup_code:
+            self.backup_sources()
         self.metrics = MetricsWriter(os.path.join(out_dir, "logs"))
+
+    def backup_sources(self) -> None:
+        """Copy the iron_tpu package sources into <exp>/recording/."""
+        import shutil
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(self.path, "recording")
+        for root, _, files in os.walk(pkg_root):
+            rel = os.path.relpath(root, pkg_root)
+            for f in files:
+                if f.endswith((".py", ".cpp", ".json")):
+                    os.makedirs(os.path.join(dst, rel), exist_ok=True)
+                    shutil.copyfile(os.path.join(root, f),
+                                    os.path.join(dst, rel, f))
 
     def file(self, name: str) -> str:
         return os.path.join(self.path, name)
