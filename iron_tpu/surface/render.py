@@ -252,7 +252,9 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         pos_uv = pixel_center - pixel_radius * n2d
         neg_uv = pixel_center + pixel_radius * n2d
         dot2d = jnp.sum((edge_uv - pixel_center) * n2d, axis=-1)
-        ang = 2.0 * jnp.arccos(jnp.clip(dot2d / pixel_radius, 0.0, 1.0))
+        # clip strictly inside (0,1): arccos' blows up at 1 and the clip
+        # boundary would pass an infinite gradient into the silhouette path
+        ang = 2.0 * jnp.arccos(jnp.clip(dot2d / pixel_radius, 0.0, 1.0 - 1e-6))
         pos_w = 1.0 - (ang - jnp.sin(ang)) / (2.0 * jnp.pi)
 
         import dataclasses as _dc

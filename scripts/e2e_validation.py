@@ -63,7 +63,8 @@ def main():
     train_idx = list(range(0, n_views - 2))
     test_idx = [n_views - 2, n_views - 1]
     ds = RayDataset.from_arrays(data["images"][train_idx], data["Ks"][train_idx],
-                                data["W2Cs"][train_idx], data["masks"][train_idx])
+                                data["W2Cs"][train_idx],
+                                data["masks"][train_idx][..., :1])
     gt_verts, gt_tris = extract_geometry(lambda p: -data["sdf_fn"](p), resolution=128)
     gt_verts, gt_tris = largest_component(gt_verts, gt_tris)
     print(f"[data] {n_views} views, GT mesh {len(gt_verts)} verts", flush=True)
@@ -71,10 +72,14 @@ def main():
     # ---- stage 1 ----
     # geometric-init sphere at the reference's default bias 0.5 — the
     # "objects inside the unit sphere" convention the data generator follows
+    # mask supervision (wmask-style): synthetic backgrounds are pure black
+    # with no background model, so without masks NeuS collapses to fog
+    # (weight_max ~0.01, inv_s stalls) — the reference always trains with
+    # either a background NeRF (n_outside=32) or masks.
     s1_cfg = Stage1Config(
         end_iter=args.stage1_iters, warm_up_end=max(args.stage1_iters // 20, 10),
         anneal_end=args.stage1_iters // 2, batch_size=512,
-        sdf=SDFConfig(bias=0.5),
+        sdf=SDFConfig(bias=0.5), mask_weight=0.1,
         render=NeuSRenderConfig(n_samples=48, n_importance=48, n_outside=0,
                                 up_sample_steps=4, perturb=1.0))
     t0 = time.time()
