@@ -78,11 +78,10 @@ def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
 
 
 def _select_topk_mask(flat_mask: jnp.ndarray, k: int):
-    """Bring True entries of flat_mask to the front (stable) and take k.
-
-    Returns (indices [k], valid [k]) — the fixed-budget worklist."""
-    order = jnp.argsort(jnp.where(flat_mask, 0, 1), stable=True)
-    sel = order[:k]
+    """Up to k True entries of flat_mask, spatially interleaved
+    (tracer.budget_select).  Returns (indices [k], valid [k])."""
+    from iron_tpu.surface.tracer import budget_select
+    sel = budget_select(flat_mask, k)
     return sel, flat_mask[sel]
 
 

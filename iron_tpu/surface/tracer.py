@@ -33,20 +33,38 @@ import jax.numpy as jnp
 @dataclass(frozen=True)
 class TracerConfig:
     sdf_threshold: float = 5.0e-5
-    sphere_tracing_iters: int = 16
+    # More iterations than the reference's 16 (raytracer.py:31): in
+    # fixed-shape mode unfinished rays can't be compacted into the unlimited
+    # fallback the reference uses, and an imperfect *network* SDF needs
+    # ~30-50 steps to reach the 5e-5 threshold (measured: 16 iters leave 26%
+    # of rays unfinished at geometric init, 48 leave 2.5%).  The masked
+    # while_loop early-exits once every ray is done, so easy scenes
+    # (near-exact SDFs) pay only the iterations they use.
+    sphere_tracing_iters: int = 48
     n_steps: int = 128          # dense fallback samples
     max_bisection_iters: int = 24
-    # Static cap on rays entering the dense fallback.  Sphere tracing leaves
-    # only grazing rays unfinished (misses exit via acc_dis >= max_dis), so a
-    # small budget covers them; the reference compacts dynamically instead
-    # (raytracer.py:58-79).  None = run the fallback on the full tile.
+    # Static cap on rays entering the dense fallback; the reference compacts
+    # dynamically instead (raytracer.py:58-79).  None = full tile.
     fallback_budget: int | None = 2048
     # Two-phase tracing: run `dense_iters` sphere-trace steps on the full
     # tile, then gather the still-active rays (same budget) for the
-    # remaining iterations.  Most rays converge or exit within ~8 steps;
-    # only grazing rays need the full 16 (raytracer.py:105-140 runs all 16
-    # on a shrinking compacted set instead).
-    dense_iters: int = 6
+    # remaining iterations.
+    dense_iters: int = 24
+
+
+def budget_select(flat_mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of up to k True entries of flat_mask, spatially interleaved.
+
+    A plain stable argsort picks the first k in scan (row-major) order,
+    which concentrates an over-budget selection in the top image rows; the
+    golden-ratio stride permutation spreads it uniformly instead."""
+    n = flat_mask.shape[0]
+    stride = max(int(n * 0.6180339887) | 1, 1)
+    while np.gcd(stride, n) != 1:
+        stride += 2
+    perm = (jnp.arange(n) * stride) % n
+    order = jnp.argsort(jnp.where(flat_mask[perm], 0, 1), stable=True)
+    return perm[order[:k]]
 
 
 def _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active0, acc0, sdf0, n_iters,
@@ -100,8 +118,7 @@ def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     if rem > 0 and K is not None and K < n_rays:
         shape = work_mask.shape
         act_f = active.reshape(-1)
-        order = jnp.argsort(jnp.where(act_f, 0, 1), stable=True)
-        sel = order[:K]
+        sel = budget_select(act_f, K)
         valid = act_f[sel]
         ro_s = ray_o.reshape(-1, 3)[sel]
         rd_s = ray_d.reshape(-1, 3)[sel]
@@ -220,8 +237,7 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     else:
         shape = work_mask.shape
         unf_f = unfinished.reshape(-1)
-        order = jnp.argsort(jnp.where(unf_f, 0, 1), stable=True)
-        sel = order[:K]
+        sel = budget_select(unf_f, K)
         valid = unf_f[sel]
         s_conv, s_pts, s_sdf, s_dis = ray_sampler(
             sdf_fn,
