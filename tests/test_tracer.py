@@ -95,3 +95,46 @@ def test_reparam_gradient_matches_implicit_function():
 
     g = jax.grad(hit_x)(jnp.asarray(0.5))
     np.testing.assert_allclose(float(g), 1.0, atol=1e-3)  # x of hit pt = radius
+
+
+def test_budget_select_spreads_uniformly():
+    """Over-budget selection must not concentrate in scan order (the naive
+    argsort picks the first k row-major entries)."""
+    from iron_tpu.surface.tracer import budget_select
+    n, k = 16384, 1024
+    mask = jnp.ones((n,), bool)  # everything wants selection
+    sel = np.asarray(budget_select(mask, k))
+    assert len(np.unique(sel)) == k
+    # selected indices should span the whole range, not just the front
+    assert sel.min() < n // 16 and sel.max() > n - n // 16
+    # quartile occupancy roughly balanced
+    hist, _ = np.histogram(sel, bins=4, range=(0, n))
+    assert hist.min() > k // 8
+
+
+def test_budget_select_prefers_masked():
+    from iron_tpu.surface.tracer import budget_select
+    n, k = 1024, 64
+    mask = np.zeros(n, bool)
+    idx_true = np.random.default_rng(0).choice(n, 40, replace=False)
+    mask[idx_true] = True
+    sel = np.asarray(budget_select(jnp.asarray(mask), k))
+    # all true entries are selected (40 < 64)
+    assert set(idx_true).issubset(set(sel.tolist()))
+
+
+def test_network_sdf_trace_converges_fully():
+    """Regression for the learned-SDF budget bug: tracing the geometric-init
+    network SDF must converge the bulk of hit rays, not just a top band."""
+    from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_only
+    cfg = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg)
+    f = lambda p: sdf_only(params, p, cfg)
+    ray_o, ray_d = _rays_towards_origin(4096, radius=1.0, jitter=0.12)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    res = raytrace(f, ray_o, ray_d, near, far, mask)
+    conv = np.asarray(res["convergent_mask"])
+    # nearly every ray aimed at the init sphere (bias .5, jitter .12) hits
+    assert conv.mean() > 0.9
+    # and convergence is not spatially banded: both halves converge
+    assert conv[:2048].mean() > 0.85 and conv[2048:].mean() > 0.85
