@@ -63,6 +63,10 @@ class Stage1Config:
     # (renderer.py:389 runs them under no_grad); the differentiable
     # render_core pass stays at sdf.precision.
     upsample_precision: str = "high"
+    # occupancy-grid guided initial sampling (volume/occupancy.py); the grid
+    # is refreshed every `occupancy_update_every` steps outside the jit.
+    use_occupancy: bool = False
+    occupancy_update_every: int = 256
     sdf: SDFConfig = field(default_factory=SDFConfig)
     nerf: NeRFConfig = field(default_factory=NeRFConfig)
     color: RenderingConfig = STAGE1_COLOR
@@ -82,7 +86,8 @@ def init_stage1_params(key, cfg: Stage1Config) -> Dict:
 
 
 def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
-                  key, cos_anneal, background_rgb=None, perturb_overwrite=-1.0):
+                  key, cos_anneal, background_rgb=None, perturb_overwrite=-1.0,
+                  init_z=None):
     import dataclasses as _dc
     up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
     sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
@@ -97,11 +102,11 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
                        sdf_all_fn=sdf_all_fn, color_fn=color_fn, inv_s=inv_s,
                        nerf_fn=nerf_fn, cfg=cfg.render, key=key,
                        background_rgb=background_rgb, cos_anneal_ratio=cos_anneal,
-                       perturb_overwrite=perturb_overwrite)
+                       perturb_overwrite=perturb_overwrite, init_z=init_z)
 
 
 def stage1_loss(params: Dict, cfg: Stage1Config, batch: jnp.ndarray, key,
-                cos_anneal) -> Tuple[jnp.ndarray, Dict]:
+                cos_anneal, occ_grid=None) -> Tuple[jnp.ndarray, Dict]:
     """batch [B, 10] -> (loss, metrics) (render_volume.py:376-397)."""
     rays_o, rays_d = batch[:, :3], batch[:, 3:6]
     true_rgb, mask = batch[:, 6:9], batch[:, 9:10]
@@ -111,8 +116,15 @@ def stage1_loss(params: Dict, cfg: Stage1Config, batch: jnp.ndarray, key,
     mask = (mask > 0.5).astype(jnp.float32) if cfg.mask_weight > 0.0 else jnp.ones_like(mask)
     mask_sum = jnp.sum(mask) + 1e-5
 
+    init_z = None
+    if occ_grid is not None:
+        from iron_tpu.volume.occupancy import OccupancyGridConfig, occupancy_guided_z
+        key, k_occ = jax.random.split(key)
+        init_z = occupancy_guided_z(occ_grid, OccupancyGridConfig(),
+                                    rays_o, rays_d, near, far,
+                                    cfg.render.n_samples, key=k_occ)
     out = stage1_render(params, cfg, rays_o, rays_d, near, far, key,
-                        cos_anneal, background_rgb)
+                        cos_anneal, background_rgb, init_z=init_z)
 
     color_err = (out["color_fine"] - true_rgb) * mask
     color_loss = jnp.sum(jnp.abs(color_err)) / mask_sum
@@ -148,13 +160,14 @@ class Stage1Trainer:
 
         dataset_ref = self.dataset
 
-        def one_step(params, opt_state, step, key):
+        def one_step(params, opt_state, step, key, occ_grid=None):
             k_img, k_ray, k_render = jax.random.split(key, 3)
             img_idx = jax.random.randint(k_img, (), 0, dataset_ref.n_images)
             batch = dataset_ref.gen_random_rays(k_ray, img_idx, cfg.batch_size)
             anneal = cos_anneal_ratio(step, cfg.anneal_end)
             (loss, metrics), grads = jax.value_and_grad(
-                stage1_loss, has_aux=True)(params, cfg, batch, k_render, anneal)
+                stage1_loss, has_aux=True)(params, cfg, batch, k_render, anneal,
+                                           occ_grid)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -163,10 +176,11 @@ class Stage1Trainer:
 
         # multi-step variant: lax.scan over `chunk` steps amortizes the
         # host->device dispatch (critical on remote/tunneled chips)
-        def train_steps(params, opt_state, step0, key, chunk):
+        def train_steps(params, opt_state, step0, key, chunk, occ_grid=None):
             def body(carry, i):
                 p, o = carry
-                p, o, m = one_step(p, o, step0 + i, jax.random.fold_in(key, i))
+                p, o, m = one_step(p, o, step0 + i, jax.random.fold_in(key, i),
+                                   occ_grid)
                 return (p, o), m
             (params, opt_state), ms = jax.lax.scan(
                 body, (params, opt_state), jnp.arange(chunk))
@@ -175,6 +189,7 @@ class Stage1Trainer:
 
         self._train_steps = jax.jit(train_steps, donate_argnums=(0, 1),
                                     static_argnums=(4,))
+        self._occ_grid = None
 
     def resume(self) -> int:
         if self.out_dir:
@@ -206,12 +221,25 @@ class Stage1Trainer:
             if self.out_dir:
                 chunk = min(chunk, self.cfg.save_freq - self.step % self.cfg.save_freq)
             chunk = max(chunk, 1)
+            if self.cfg.use_occupancy and (
+                    self._occ_grid is None
+                    or self.step % self.cfg.occupancy_update_every < chunk):
+                from iron_tpu.volume.occupancy import (OccupancyGridConfig,
+                                                       update_occupancy_grid)
+                import dataclasses as _dc
+                up_cfg = _dc.replace(self.cfg.sdf,
+                                     precision=self.cfg.upsample_precision)
+                from iron_tpu.fields.sdf import sdf_only as _sdf_only
+                self._occ_grid = update_occupancy_grid(
+                    lambda p: _sdf_only(self.params["sdf"], p, up_cfg),
+                    OccupancyGridConfig())
             if chunk > 1:
                 self.params, self.opt_state, metrics = self._train_steps(
-                    self.params, self.opt_state, self.step, sub, int(chunk))
+                    self.params, self.opt_state, self.step, sub, int(chunk),
+                    self._occ_grid)
             else:
                 self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, self.step, sub)
+                    self.params, self.opt_state, self.step, sub, self._occ_grid)
             self.step += chunk
             done += chunk
             if log_every and self.step % log_every == 0:

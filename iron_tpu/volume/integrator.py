@@ -182,15 +182,24 @@ def neus_render(rays_o, rays_d, near, far, *,
                 nerf_fn=None, cfg: NeuSRenderConfig = NeuSRenderConfig(),
                 key: Optional[jax.Array] = None,
                 background_rgb=None, cos_anneal_ratio: float = 0.0,
-                perturb_overwrite: float = -1.0) -> Dict[str, jnp.ndarray]:
-    """Full NeuS render (renderer.py:346-453). near/far: [B, 1] or [B]."""
+                perturb_overwrite: float = -1.0,
+                init_z: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+    """Full NeuS render (renderer.py:346-453). near/far: [B, 1] or [B].
+
+    init_z [B, n_samples]: optional precomputed initial samples (e.g.
+    occupancy-guided, volume/occupancy.py) replacing the uniform ladder;
+    the per-ray jitter is skipped for them (they carry their own).
+    """
     batch_size = rays_o.shape[0]
     near = jnp.reshape(near, (batch_size, 1))
     far = jnp.reshape(far, (batch_size, 1))
     sample_dist = 2.0 / cfg.n_samples
 
-    z_vals = jnp.linspace(0.0, 1.0, cfg.n_samples)
-    z_vals = near + (far - near) * z_vals[None, :]
+    if init_z is not None:
+        z_vals = init_z
+    else:
+        z_vals = jnp.linspace(0.0, 1.0, cfg.n_samples)
+        z_vals = near + (far - near) * z_vals[None, :]
 
     z_vals_outside = None
     if cfg.n_outside > 0:
@@ -200,8 +209,9 @@ def neus_render(rays_o, rays_d, near, far, *,
     if perturb > 0:
         assert key is not None, "need a PRNG key when perturb > 0"
         k1, k2 = jax.random.split(key)
-        t_rand = jax.random.uniform(k1, (batch_size, 1)) - 0.5
-        z_vals = z_vals + t_rand * 2.0 / cfg.n_samples
+        if init_z is None:
+            t_rand = jax.random.uniform(k1, (batch_size, 1)) - 0.5
+            z_vals = z_vals + t_rand * 2.0 / cfg.n_samples
         if cfg.n_outside > 0:
             mids = 0.5 * (z_vals_outside[1:] + z_vals_outside[:-1])
             upper = jnp.concatenate([mids, z_vals_outside[-1:]])

@@ -1,0 +1,62 @@
+"""Occupancy-grid sampling tests."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iron_tpu.volume.occupancy import (OccupancyGridConfig, update_occupancy_grid,
+                                       occupancy_lookup, occupancy_guided_z)
+
+
+def _sphere(r=0.5):
+    return lambda p: jnp.linalg.norm(p, axis=-1) - r
+
+
+def test_grid_marks_surface_shell():
+    cfg = OccupancyGridConfig(resolution=32)
+    grid = update_occupancy_grid(_sphere(0.5), cfg)
+    # occupied fraction should be a thin shell, not the whole volume
+    frac = float(jnp.mean(grid.astype(jnp.float32)))
+    assert 0.005 < frac < 0.15
+    # cell at the surface is occupied; center and corner are not
+    assert bool(occupancy_lookup(grid, jnp.asarray([[0.5, 0.0, 0.0]]), cfg)[0])
+    assert not bool(occupancy_lookup(grid, jnp.asarray([[0.0, 0.0, 0.0]]), cfg)[0])
+    assert not bool(occupancy_lookup(grid, jnp.asarray([[0.95, 0.95, 0.95]]), cfg)[0])
+
+
+def test_guided_samples_concentrate_on_surface():
+    cfg = OccupancyGridConfig(resolution=32)
+    grid = update_occupancy_grid(_sphere(0.5), cfg)
+    ray_o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)
+    ray_d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+    near = jnp.full((4, 1), 2.0)
+    far = jnp.full((4, 1), 4.0)
+    z = occupancy_guided_z(grid, cfg, ray_o, ray_d, near, far, 64,
+                           key=jax.random.PRNGKey(0))
+    assert z.shape == (4, 64)
+    assert bool(jnp.all(z[:, 1:] >= z[:, :-1]))  # sorted
+    pts = ray_o[:, None] + ray_d[:, None] * z[..., None]
+    r = jnp.abs(jnp.linalg.norm(pts, axis=-1) - 0.5)
+    # the ray crosses the shell twice (front/back); most samples near them
+    frac_near = float(jnp.mean((r < 0.15).astype(jnp.float32)))
+    assert frac_near > 0.6
+
+
+def test_guided_sampling_trains_stage1():
+    from iron_tpu.data.synthetic import render_synthetic_dataset
+    from iron_tpu.data.dataset import RayDataset
+    from iron_tpu.train.stage1 import Stage1Config, Stage1Trainer
+    from iron_tpu.volume.integrator import NeuSRenderConfig
+
+    data = render_synthetic_dataset("sphere", n_views=3, H=32, W=32, light=30.0)
+    ds = RayDataset.from_arrays(data["images"], data["Ks"], data["W2Cs"],
+                                data["masks"])
+    cfg = Stage1Config(end_iter=10, warm_up_end=2, anneal_end=5, batch_size=32,
+                       use_occupancy=True, occupancy_update_every=4,
+                       render=NeuSRenderConfig(n_samples=8, n_importance=8,
+                                               n_outside=0, up_sample_steps=2,
+                                               perturb=1.0))
+    tr = Stage1Trainer(cfg, ds)
+    m = tr.run(num_iters=6)
+    assert np.isfinite(m["loss"])
+    assert tr._occ_grid is not None
