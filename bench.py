@@ -13,11 +13,18 @@ the PyTorch reference on A100 (128^2-px crop at ~0.33 s/iter ≈ 50k rays/s
 fwd+bwd) to be replaced by a measured value when available.
 """
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the stage-2 step takes minutes to compile
+# through the remote-compile tunnel; cached runs start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_A100_RAYS_S = 50_000.0
 
