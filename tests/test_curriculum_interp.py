@@ -16,8 +16,13 @@ from iron_tpu.volume.integrator import NeuSRenderConfig
 
 def test_curriculum_phases_freeze_correct_nets():
     data = render_synthetic_dataset("sphere", n_views=3, H=48, W=48, light=30.0)
+    from iron_tpu.surface.tracer import TracerConfig
     cfg = Stage2Config(renderer_name="comp", patch_size=16,
-                       surface=SurfaceRenderConfig(edge_budget=32))
+                       surface=SurfaceRenderConfig(
+                           edge_budget=32, edge_side_fallback_budget=16,
+                           tracer=TracerConfig(sphere_tracing_iters=16,
+                                               dense_iters=8,
+                                               fallback_budget=64)))
     cur = CurriculumTrainer(cfg, data["images"], data["Ks"], data["W2Cs"],
                             phases=[CurriculumPhase("rgb", 2),
                                     CurriculumPhase("refrac", 2),

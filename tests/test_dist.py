@@ -93,8 +93,13 @@ def test_dp_stage2_step_runs():
     _need_devices(8)
     mesh = make_mesh(dp=8, tp=1)
     data = render_synthetic_dataset("sphere", n_views=3, H=48, W=48, light=30.0)
+    from iron_tpu.surface.tracer import TracerConfig
     cfg = Stage2Config(renderer_name="ggx", patch_size=16,
-                       surface=SurfaceRenderConfig(edge_budget=64))
+                       surface=SurfaceRenderConfig(
+                           edge_budget=64, edge_side_fallback_budget=16,
+                           tracer=TracerConfig(sphere_tracing_iters=16,
+                                               dense_iters=8,
+                                               fallback_budget=64)))
     params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
     params["materials"]["point_light_network"]["light"] = jnp.asarray(
         init_light_from_cameras(data["W2Cs"]), jnp.float32)

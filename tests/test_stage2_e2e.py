@@ -13,9 +13,14 @@ from iron_tpu.train.stage1 import Stage1Config, init_stage1_params
 
 
 def _small_cfg(renderer="ggx", ps=32, edges=True):
+    from iron_tpu.surface.tracer import TracerConfig
+    # CPU-friendly tracer: analytic-ish test scenes converge in few steps
+    tracer = TracerConfig(sphere_tracing_iters=16, dense_iters=8,
+                          fallback_budget=256)
     return Stage2Config(
         renderer_name=renderer, patch_size=ps,
-        surface=SurfaceRenderConfig(edge_budget=128, handle_edges=edges),
+        surface=SurfaceRenderConfig(edge_budget=128, handle_edges=edges,
+                                    tracer=tracer, edge_side_fallback_budget=64),
         num_iters=100, save_freq=10_000)
 
 
