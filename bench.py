@@ -42,7 +42,8 @@ def main():
     data = render_synthetic_dataset("sphere", n_views=4, H=PATCH * 2,
                                     W=PATCH * 2, light=30.0)
     cfg = Stage2Config(renderer_name="comp", patch_size=PATCH,
-                       surface=SurfaceRenderConfig(edge_budget=1024))
+                       surface=SurfaceRenderConfig(edge_budget=1024,
+                                                   interior_budget=4096))
     tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"])
 
     # warmup (compile)

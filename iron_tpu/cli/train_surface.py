@@ -40,6 +40,10 @@ def main(argv=None):
                    help="NIR variant: roughness hinge 0.1 + eta priors in loss")
     p.add_argument("--init_light_scale", type=float, default=8.0)
     p.add_argument("--export_all", action="store_true")
+    p.add_argument("--export_res", type=int, default=512,
+                   help="marching-cubes grid resolution for exports")
+    p.add_argument("--skip_final_export", action="store_true",
+                   help="do not export mesh+materials after training")
     p.add_argument("--render_all", action="store_true")
     p.add_argument("--use_mask", action="store_true")
     p.add_argument("--plot_image_name", default=None)
@@ -77,7 +81,14 @@ def main(argv=None):
 
     stage1_params = None
     if args.neus_ckpt_fpath and os.path.isfile(args.neus_ckpt_fpath):
-        stage1_params = load_checkpoint(args.neus_ckpt_fpath)["params"]
+        ck = load_checkpoint(args.neus_ckpt_fpath)
+        stage1_params = ck["params"]
+        sdf_conf = ck.get("extra", {}).get("sdf_config")
+        if sdf_conf:  # adopt the stage-1 SDF architecture
+            import dataclasses
+            from iron_tpu.fields.sdf import SDFConfig
+            sdf_conf = {**sdf_conf, "skip_in": tuple(sdf_conf.get("skip_in", ()))}
+            cfg = dataclasses.replace(cfg, sdf=SDFConfig(**sdf_conf))
 
     trainer = Stage2Trainer(cfg, images, Ks, W2Cs, out_dir=args.out_dir,
                             stage1_params=stage1_params)
@@ -120,7 +131,7 @@ def main(argv=None):
 
     if args.export_all:
         export_dir = exp.file(f"mesh_and_materials_{start}")
-        export_assets(trainer, export_dir)
+        export_assets(trainer, export_dir, resolution=args.export_res)
         return
 
     while trainer.step < args.num_iters:
@@ -131,10 +142,12 @@ def main(argv=None):
             idx = trainer.step % len(fpaths)
             write_image(exp.file(f"logim_{trainer.step}.png"), mosaic(idx))
     trainer.save()
-    export_assets(trainer, exp.file(f"mesh_and_materials_{trainer.step}"))
+    if not args.skip_final_export:
+        export_assets(trainer, exp.file(f"mesh_and_materials_{trainer.step}"),
+                      resolution=args.export_res)
 
 
-def export_assets(trainer, export_dir: str):
+def export_assets(trainer, export_dir: str, resolution: int = 512):
     """Mesh + UV + baked materials (render_surface.py:418-457)."""
     import jax.numpy as jnp
     from iron_tpu.export.mesh import export_mesh
@@ -147,7 +160,7 @@ def export_assets(trainer, export_dir: str):
     cfg = trainer.cfg
     sdf_fn = lambda p: sdf_only(trainer.params["sdf"], p, cfg.sdf)
     mesh_path = os.path.join(export_dir, "mesh.obj")
-    export_mesh(sdf_fn, mesh_path, resolution=512)
+    export_mesh(sdf_fn, mesh_path, resolution=resolution)
     unwrap_obj(mesh_path, mesh_path)
 
     def predictor(points):

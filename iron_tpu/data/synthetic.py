@@ -133,3 +133,55 @@ def render_synthetic_dataset(scene: str = "sphere", n_views: int = 12,
         "Ks": Ks, "W2Cs": W2Cs, "cams": cams, "light": light,
         "sdf_fn": sdf_fn, "sdf_all_fn": sdf_all_fn,
     }
+
+
+def write_scene_dir(data: Dict, path: str, folder_name: str = "image",
+                    denormalize: Optional[Tuple[np.ndarray, float]] = None
+                    ) -> str:
+    """Write a rendered dataset as a reference-format scene folder:
+    `<path>/<folder_name>/NNNNN.png`, `<path>/masks/NNNNN.png`, and
+    `cam_dict_norm.json` (the on-disk layout the reference's loaders expect,
+    dataset.py:1139-1223 / README.md:44-46).
+
+    With `denormalize=(translate, scale)` an additional *un-normalized*
+    `cam_dict.json` is written whose poses have the inverse of
+    `transform_pose` applied — input for `preprocess normalize` dry runs.
+    """
+    import json
+    import os
+
+    from iron_tpu.data.io import write_image
+
+    img_dir = os.path.join(path, folder_name)
+    mask_dir = os.path.join(path, "masks")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(mask_dir, exist_ok=True)
+
+    H, W = data["images"].shape[1:3]
+    cam_dict = {}
+    for i in range(data["images"].shape[0]):
+        name = f"{i:05d}.png"
+        write_image(os.path.join(img_dir, name), data["images"][i])
+        write_image(os.path.join(mask_dir, name),
+                    np.repeat(data["masks"][i], 3, axis=-1))
+        cam_dict[name] = {
+            "K": [float(x) for x in np.asarray(data["Ks"][i]).flatten()],
+            "W2C": [float(x) for x in np.asarray(data["W2Cs"][i]).flatten()],
+            "img_size": [W, H],
+        }
+    with open(os.path.join(path, "cam_dict_norm.json"), "w") as f:
+        json.dump(cam_dict, f, indent=2, sort_keys=True)
+
+    if denormalize is not None:
+        translate, scale = denormalize
+        raw = {}
+        for name, entry in cam_dict.items():
+            W2C = np.asarray(entry["W2C"], np.float64).reshape(4, 4)
+            C2W = np.linalg.inv(W2C)
+            C2W[:3, 3] = C2W[:3, 3] / scale - np.asarray(translate)
+            raw[name] = {**entry,
+                         "W2C": [float(x) for x in
+                                 np.linalg.inv(C2W).flatten()]}
+        with open(os.path.join(path, "cam_dict.json"), "w") as f:
+            json.dump(raw, f, indent=2, sort_keys=True)
+    return path

@@ -42,7 +42,20 @@ _COLOR = _rn(9, 3, 4, "idr", 0, 4, True)
 _SCALAR_HEAD = dict(n_layers=4, mode="no_view_dir", multires=6, squeeze_out=False)
 
 
-def renderer_network_configs(renderer_name: str) -> Dict[str, RenderingConfig]:
+def renderer_network_configs(renderer_name: str,
+                             d_feature: int = 256) -> Dict[str, RenderingConfig]:
+    """Per-flavor material-net architectures.  `d_feature` is the SDF
+    feature width the nets consume (d_out - 1 of the SDF network); the
+    reference hard-codes 256 (network_conf.py:48-479)."""
+    cfgs = _base_configs(renderer_name)
+    if d_feature != 256:
+        import dataclasses
+        cfgs = {k: dataclasses.replace(v, d_feature=d_feature)
+                for k, v in cfgs.items()}
+    return cfgs
+
+
+def _base_configs(renderer_name: str) -> Dict[str, RenderingConfig]:
     if renderer_name == "ggx":
         return {
             "color_network": _COLOR,
@@ -81,8 +94,9 @@ def renderer_network_configs(renderer_name: str) -> Dict[str, RenderingConfig]:
     raise ValueError(f"unknown renderer flavor {renderer_name}")
 
 
-def init_material_networks(key, renderer_name: str) -> Tuple[Dict, Dict[str, RenderingConfig]]:
-    cfgs = renderer_network_configs(renderer_name)
+def init_material_networks(key, renderer_name: str, d_feature: int = 256
+                           ) -> Tuple[Dict, Dict[str, RenderingConfig]]:
+    cfgs = renderer_network_configs(renderer_name, d_feature)
     keys = jax.random.split(key, len(cfgs))
     params = {name: init_rendering(k, cfg) for (name, cfg), k in zip(sorted(cfgs.items()), keys)}
     params["point_light_network"] = init_point_light()

@@ -61,16 +61,25 @@ class SurfaceRenderConfig:
     # graze the silhouette so proportionally more need the dense fallback,
     # but a full-tile fallback over all edge_budget rays is still wasteful.
     edge_side_fallback_budget: int = 512
+    # Static cap on interior pixels shaded through the material networks
+    # (the reference chunks the compacted convergent set, raytracer.py:599).
+    # When the convergent count fits the budget, shading gathers just those
+    # pixels (saving the 9 material-MLP sweeps over background pixels); on
+    # overflow a lax.cond falls back to full-tile shading, so any coverage
+    # is handled exactly.  None = always full tile.
+    interior_budget: Optional[int] = None
 
 
 def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
                     mask: Optional[jnp.ndarray] = None,
-                    cfg: SurfaceRenderConfig = SurfaceRenderConfig()) -> Dict:
+                    cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
+                    coarse_sdf_fn=None) -> Dict:
     """Trace rays through pixel coords uv [..., 2] (raytracer.py:367-409)."""
     ray_o, ray_d, ray_d_norm = get_rays(cam, uv)
     mask_int, min_dis, max_dis = intersect_sphere(ray_o, ray_d, r=1.0)
     work = mask_int if mask is None else (mask_int & mask)
-    res = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, cfg.tracer)
+    res = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, cfg.tracer,
+                   coarse_sdf_fn=coarse_sdf_fn)
     res = jax.tree_util.tree_map(jax.lax.stop_gradient, res)
     res["depth"] = res["distance"] / ray_d_norm
     res.update({"uv": uv, "ray_o": ray_o, "ray_d": ray_d, "ray_d_norm": ray_d_norm})
@@ -173,7 +182,8 @@ def shade_masked(sdf_all_fn, shade_fn, ray_o, ray_d, points, mask,
 def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                   cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
                   is_training: bool = False, debug: bool = False,
-                  trace_sdf_fn=None, trace_sdf_all_fn=None) -> Dict:
+                  trace_sdf_fn=None, trace_sdf_all_fn=None,
+                  coarse_sdf_fn=None) -> Dict:
     """Top-level surface render (raytracer.py:778-814), jittable.
 
     sdf_fn:     pts [..., 3] -> sdf [...]
@@ -182,13 +192,16 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
     trace_sdf_fn / trace_sdf_all_fn: optional cheaper evaluators used only on
     the stop-gradient trace/walk paths (e.g. HIGH-precision matmuls or the
     fused Pallas kernel); shading/gradients always use sdf_(all_)fn.
+    coarse_sdf_fn: optional even-cheaper evaluator (bf16/DEFAULT precision)
+    for the coarse-to-fine sphere-trace march (tracer.sphere_trace).
     Returns [H, W, ...] image buffers + edge diagnostics.
     """
     trace_sdf_fn = trace_sdf_fn or sdf_fn
     trace_sdf_all_fn = trace_sdf_all_fn or sdf_all_fn
     H, W = cam.H, cam.W
     uv = pixel_grid(H, W)
-    res = raytrace_pixels(trace_sdf_fn, cam, uv, cfg=cfg)
+    res = raytrace_pixels(trace_sdf_fn, cam, uv, cfg=cfg,
+                          coarse_sdf_fn=coarse_sdf_fn)
     res["depth"] = res["depth"] * res["convergent_mask"]
 
     if cfg.fill_holes:
@@ -222,9 +235,38 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         res["edge_mask"] = jnp.zeros((H, W), bool)
 
     # ---- interior shading ----
-    shaded = shade_masked(sdf_all_fn, shade_fn,
-                          res["ray_o"], res["ray_d"], res["points"],
-                          res["convergent_mask"], is_training)
+    B = cfg.interior_budget
+    if B is not None and B < H * W:
+        from iron_tpu.surface.tracer import budget_select
+        flat_mask = res["convergent_mask"].reshape(-1)
+        sel = budget_select(flat_mask, B)
+        valid = flat_mask[sel]
+        ro_f = res["ray_o"].reshape(-1, 3)
+        rd_f = res["ray_d"].reshape(-1, 3)
+        pts_f = res["points"].reshape(-1, 3)
+
+        def _shade_gathered(_):
+            sh = shade_masked(sdf_all_fn, shade_fn, ro_f[sel], rd_f[sel],
+                              pts_f[sel], valid, is_training)
+            safe = jnp.where(valid, sel, H * W)  # overflow row, sliced off
+            out = {}
+            for k, v in sh.items():
+                buf = jnp.zeros((H * W + 1,) + v.shape[1:], v.dtype)
+                out[k] = buf.at[safe].set(v)[:H * W].reshape(
+                    (H, W) + v.shape[1:])
+            return out
+
+        def _shade_full(_):
+            return shade_masked(sdf_all_fn, shade_fn,
+                                res["ray_o"], res["ray_d"], res["points"],
+                                res["convergent_mask"], is_training)
+
+        shaded = jax.lax.cond(jnp.sum(flat_mask) <= B,
+                              _shade_gathered, _shade_full, None)
+    else:
+        shaded = shade_masked(sdf_all_fn, shade_fn,
+                              res["ray_o"], res["ray_d"], res["points"],
+                              res["convergent_mask"], is_training)
     res.update(shaded)
 
     # ---- edge pixels (raytracer.py:665-775) ----
@@ -262,7 +304,8 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                                     fallback_budget=cfg.edge_side_fallback_budget))
 
         def side(uv_side):
-            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept, cfg=side_cfg)
+            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept,
+                                cfg=side_cfg, coarse_sdf_fn=coarse_sdf_fn)
             s = shade_masked(sdf_all_fn, shade_fn, r["ray_o"], r["ray_d"],
                              r["points"], r["convergent_mask"] & kept, is_training)
             return r, s

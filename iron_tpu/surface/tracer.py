@@ -50,6 +50,14 @@ class TracerConfig:
     # tile, then gather the still-active rays (same budget) for the
     # remaining iterations.
     dense_iters: int = 24
+    # Coarse-to-fine: when a `coarse_sdf_fn` is supplied to raytrace /
+    # sphere_trace (e.g. the SDF at DEFAULT/bf16 matmul precision, ~3x
+    # cheaper than HIGH), the dense full-tile march runs on it down to
+    # `coarse_threshold`, then `refine_iters` full-tile steps on the
+    # accurate fn re-check and polish every ray to sdf_threshold.  bf16
+    # SDF error is ~1e-2, so coarse_threshold must sit well above it.
+    coarse_threshold: float = 2.0e-2
+    refine_iters: int = 8
 
 
 def budget_select(flat_mask: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -93,26 +101,50 @@ def _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active0, acc0, sdf0, n_iters,
 
 
 def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
-                 cfg: TracerConfig = TracerConfig()):
+                 cfg: TracerConfig = TracerConfig(),
+                 coarse_sdf_fn: Callable | None = None):
     """Two-phase masked sphere tracing (raytracer.py:105-140 semantics).
+
+    With `coarse_sdf_fn` (a cheaper, lower-precision evaluator of the same
+    SDF), the dense full-tile march runs coarse-to-fine: coarse steps to
+    cfg.coarse_threshold, then cfg.refine_iters accurate full-tile steps
+    re-check and polish every ray to cfg.sdf_threshold.  Rays the coarse
+    march mis-judged are reactivated by the accurate re-evaluation, so the
+    result matches the accurate-only path up to sphere-tracing's own
+    convergence tolerance.
 
     Returns (convergent_mask, unfinished_mask, points, sdf, distance), all
     full-shape [...].
     """
     acc_dis = min_dis
     pts = ray_o + ray_d * acc_dis[..., None]
-    sdf_val = sdf_fn(pts)
 
     def unfinished(mask, s, d):
         return mask & (jnp.abs(s) > cfg.sdf_threshold) & (d < max_dis)
 
-    active0 = unfinished(work_mask, sdf_val, acc_dis)
     phase1 = min(cfg.dense_iters, cfg.sphere_tracing_iters)
-    active, acc_dis, sdf_val = _trace_loop(
-        sdf_fn, ray_o, ray_d, max_dis, active0, acc_dis, sdf_val,
-        phase1, cfg.sdf_threshold)
+    if coarse_sdf_fn is not None:
+        # coarse march on the cheap evaluator
+        s_c = coarse_sdf_fn(pts)
+        active_c = work_mask & (jnp.abs(s_c) > cfg.coarse_threshold) & (acc_dis < max_dis)
+        _, acc_dis, _ = _trace_loop(
+            coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
+            phase1, cfg.coarse_threshold)
+        # accurate re-evaluation + full-tile polish
+        sdf_val = sdf_fn(ray_o + ray_d * acc_dis[..., None])
+        active = unfinished(work_mask, sdf_val, acc_dis)
+        active, acc_dis, sdf_val = _trace_loop(
+            sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
+            cfg.refine_iters, cfg.sdf_threshold)
+        phase1 = phase1 + cfg.refine_iters
+    else:
+        sdf_val = sdf_fn(pts)
+        active0 = unfinished(work_mask, sdf_val, acc_dis)
+        active, acc_dis, sdf_val = _trace_loop(
+            sdf_fn, ray_o, ray_d, max_dis, active0, acc_dis, sdf_val,
+            phase1, cfg.sdf_threshold)
 
-    rem = cfg.sphere_tracing_iters - phase1
+    rem = max(cfg.sphere_tracing_iters - phase1, 0)
     K = cfg.fallback_budget
     n_rays = int(np.prod(work_mask.shape))
     if rem > 0 and K is not None and K < n_rays:
@@ -207,16 +239,19 @@ def bisection(sdf_fn: Callable, f_low, f_high, d_low, d_high, ray_o, ray_d,
 
 
 def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
-             cfg: TracerConfig = TracerConfig()) -> Dict[str, jnp.ndarray]:
+             cfg: TracerConfig = TracerConfig(),
+             coarse_sdf_fn: Callable | None = None) -> Dict[str, jnp.ndarray]:
     """Full root finder = sphere trace -> fallback sampler (raytracer.py:45-103).
 
     Returns dict with full-shape convergent_mask / points / sdf / distance.
     With `fallback_budget`, only up to that many unfinished rays are dense-
     sampled (gather -> sample -> scatter), saving ~n_steps SDF sweeps over
     the full tile; sphere tracing leaves few rays unfinished.
+    `coarse_sdf_fn` enables the coarse-to-fine march (see sphere_trace).
     """
     (convergent, unfinished, pts, sdf_val, acc_dis) = sphere_trace(
-        sdf_fn, ray_o, ray_d, min_dis, max_dis, work_mask, cfg)
+        sdf_fn, ray_o, ray_d, min_dis, max_dis, work_mask, cfg,
+        coarse_sdf_fn=coarse_sdf_fn)
 
     # fallback interval: if overshoot (sdf > 0) search [acc, max];
     # if we jumped inside (sdf < 0) search [min, acc]  (raytracer.py:59-65)

@@ -204,7 +204,14 @@ class Stage1Trainer:
 
     def save(self):
         if self.out_dir:
-            save_checkpoint(self.out_dir, self.step, self.params, self.opt_state)
+            import dataclasses
+            # persist the field architectures so stage 2 can adopt them
+            # (the reference relies on both stages hard-coding identical
+            # nets, ckpt_loader.py:49-66; we make the handoff explicit)
+            extra = {"sdf_config": dataclasses.asdict(self.cfg.sdf),
+                     "color_config": dataclasses.asdict(self.cfg.color)}
+            save_checkpoint(self.out_dir, self.step, self.params,
+                            self.opt_state, extra=extra)
 
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
             seed: int = 0, steps_per_call: int = 16) -> Dict:

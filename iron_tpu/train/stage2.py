@@ -67,6 +67,11 @@ class Stage2Config:
     # forwards stay at cfg.sdf.precision ('highest').  'high' (bf16x3) is
     # ~30% faster with ~2e-4 SDF error — well under a pixel footprint.
     trace_precision: str = "high"
+    # precision for the coarse sphere-trace march (coarse-to-fine tracer);
+    # 'default' = single-pass bf16, ~3x cheaper than 'high'.  The refine
+    # phase re-checks every ray at trace_precision, so this only affects
+    # speed.  None disables the coarse phase.
+    coarse_trace_precision: Optional[str] = "default"
     surface: SurfaceRenderConfig = field(default_factory=SurfaceRenderConfig)
     sdf: SDFConfig = field(default_factory=SDFConfig)
     save_freq: int = 1000
@@ -75,7 +80,8 @@ class Stage2Config:
 
 def init_stage2_params(key, cfg: Stage2Config):
     k1, k2 = jax.random.split(key)
-    materials, mat_cfgs = init_material_networks(k2, cfg.renderer_name)
+    materials, mat_cfgs = init_material_networks(
+        k2, cfg.renderer_name, d_feature=cfg.sdf.d_out - 1)
     params = {"sdf": init_sdf(k1, cfg.sdf), "materials": materials}
     return params, mat_cfgs
 
@@ -120,13 +126,18 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     trace_cfg = _dc.replace(cfg.sdf, precision=cfg.trace_precision)
     trace_sdf_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     trace_sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
+    coarse_sdf_fn = None
+    if cfg.coarse_trace_precision is not None:
+        coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
+        coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
     shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
         normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
 
     res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
                         is_training=True, trace_sdf_fn=trace_sdf_fn,
-                        trace_sdf_all_fn=trace_sdf_all_fn)
+                        trace_sdf_all_fn=trace_sdf_all_fn,
+                        coarse_sdf_fn=coarse_sdf_fn)
 
     color = res["color"]
     if cfg.gamma_pred:
@@ -194,6 +205,15 @@ class Stage2Trainer:
 
         self.params, self.mat_cfgs = init_stage2_params(key, cfg)
         if stage1_params is not None:
+            s1_shapes = jax.tree_util.tree_map(np.shape, stage1_params["sdf"])
+            s2_shapes = jax.tree_util.tree_map(np.shape, self.params["sdf"])
+            if s1_shapes != s2_shapes:
+                raise ValueError(
+                    "stage-1 SDF parameters do not match Stage2Config.sdf "
+                    f"architecture: ckpt {s1_shapes} vs config {s2_shapes}. "
+                    "Pass the stage-1 run's SDFConfig as Stage2Config.sdf "
+                    "(checkpoints saved by Stage1Trainer carry it in "
+                    "extra['sdf_config']).")
             self.params = stage1_to_stage2(stage1_params, self.params)
         light = init_light_from_cameras(W2Cs, cfg.init_light_scale)
         self.params["materials"]["point_light_network"]["light"] = jnp.asarray(

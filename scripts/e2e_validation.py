@@ -33,6 +33,8 @@ def main():
     p.add_argument("--stage1_iters", type=int, default=3000)
     p.add_argument("--stage2_iters", type=int, default=1500)
     p.add_argument("--res", type=int, default=128)
+    p.add_argument("--n_samples", type=int, default=48)
+    p.add_argument("--n_importance", type=int, default=48)
     args = p.parse_args()
     if args.fast:
         args.stage1_iters, args.stage2_iters, args.res = 300, 150, 64
@@ -80,7 +82,8 @@ def main():
         end_iter=args.stage1_iters, warm_up_end=max(args.stage1_iters // 20, 10),
         anneal_end=args.stage1_iters // 2, batch_size=512,
         sdf=SDFConfig(bias=0.5), mask_weight=0.1,
-        render=NeuSRenderConfig(n_samples=48, n_importance=48, n_outside=0,
+        render=NeuSRenderConfig(n_samples=args.n_samples,
+                                n_importance=args.n_importance, n_outside=0,
                                 up_sample_steps=4, perturb=1.0))
     t0 = time.time()
     s1 = Stage1Trainer(s1_cfg, ds)

@@ -111,3 +111,45 @@ def test_silhouette_gradient_wrt_radius():
     eps = 5e-3
     fd = (float(mean_color(jnp.asarray(0.5 + eps))) - float(mean_color(jnp.asarray(0.5 - eps)))) / (2 * eps)
     assert fd > 0
+
+
+def test_interior_budget_matches_full_tile():
+    """Gathered interior shading (budget fits) and the lax.cond overflow
+    fallback (budget too small) must both reproduce full-tile shading."""
+    cam = _cam()
+    sdf_fn, sdf_all_fn = _sphere_fns(0.5)
+    shade = _const_shade()
+    base_cfg = SurfaceRenderConfig(edge_budget=512)
+    ref = render_camera(sdf_fn, sdf_all_fn, shade, cam, base_cfg, is_training=False)
+    n_conv = int(np.asarray(ref["convergent_mask"]).sum())
+    assert 0 < n_conv < 64 * 64 // 2
+    import dataclasses
+    for budget in (n_conv + 8, max(n_conv // 2, 1)):  # fits / overflow
+        cfg = dataclasses.replace(base_cfg, interior_budget=budget)
+        res = render_camera(sdf_fn, sdf_all_fn, shade, cam, cfg, is_training=False)
+        for k in ("color", "normal", "raw_grad"):
+            np.testing.assert_allclose(np.asarray(res[k]), np.asarray(ref[k]),
+                                       atol=1e-6, err_msg=f"{k} budget={budget}")
+
+
+def test_interior_budget_training_gradients_match():
+    """Silhouette + shading gradients are unchanged by the interior budget."""
+    cam = _cam()
+    cfg_full = SurfaceRenderConfig(edge_budget=512)
+    import dataclasses
+    cfg_bud = dataclasses.replace(cfg_full, interior_budget=1024)
+    shade = _const_shade((1.0, 1.0, 1.0))
+
+    def mean_color(radius, cfg):
+        sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - radius
+
+        def sdf_all_fn(p):
+            n = jnp.linalg.norm(p, axis=-1)
+            return n - radius, jnp.zeros(p.shape[:-1] + (4,)), p / (n[..., None] + 1e-9)
+
+        res = render_camera(sdf_fn, sdf_all_fn, shade, cam, cfg, is_training=True)
+        return jnp.mean(res["color"])
+
+    g_full = float(jax.grad(mean_color)(jnp.asarray(0.5), cfg_full))
+    g_bud = float(jax.grad(mean_color)(jnp.asarray(0.5), cfg_bud))
+    np.testing.assert_allclose(g_bud, g_full, rtol=1e-5)

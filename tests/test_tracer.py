@@ -138,3 +138,69 @@ def test_network_sdf_trace_converges_fully():
     assert conv.mean() > 0.9
     # and convergence is not spatially banded: both halves converge
     assert conv[:2048].mean() > 0.85 and conv[2048:].mean() > 0.85
+
+
+def test_coarse_to_fine_trace_matches_accurate():
+    """The coarse-to-fine march (cheap bf16-like coarse evaluator + accurate
+    refine) must reproduce the accurate-only trace: same convergent set, hit
+    distances within sphere-tracing tolerance."""
+    import dataclasses
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+
+    def sdf(p):
+        return jnp.linalg.norm(p, axis=-1) - 0.6
+
+    # simulate a low-precision evaluator: bf16 roundtrip + deterministic bias
+    def coarse(p):
+        v = sdf(p).astype(jnp.bfloat16).astype(jnp.float32)
+        return v + 4e-3 * jnp.sin(37.0 * p[..., 0])
+
+    n = 512
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # cameras on a shell, rays toward points near the origin
+    ray_o = 2.5 * d
+    target = 0.2 * jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+    ray_d = target - ray_o
+    ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    min_dis = jnp.full((n,), 0.5)
+    max_dis = jnp.full((n,), 4.5)
+    work = jnp.ones((n,), bool)
+
+    cfg = TracerConfig()
+    ref = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg)
+    c2f = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg,
+                   coarse_sdf_fn=coarse)
+
+    ref_conv = np.asarray(ref["convergent_mask"])
+    c2f_conv = np.asarray(c2f["convergent_mask"])
+    assert ref_conv.sum() > 100  # the scene actually hits
+    np.testing.assert_array_equal(c2f_conv, ref_conv)
+    both = ref_conv & c2f_conv
+    # distances agree within the tracer's own tolerance divided by the
+    # incidence cosine (grazing rays have a sliver of root ambiguity)
+    np.testing.assert_allclose(np.asarray(c2f["distance"])[both],
+                               np.asarray(ref["distance"])[both],
+                               atol=1e-3)
+    # converged points really sit on the accurate surface
+    hit_sdf = np.asarray(sdf(c2f["points"]))[c2f_conv]
+    assert np.abs(hit_sdf).max() <= cfg.sdf_threshold * 1.01
+
+
+def test_coarse_to_fine_jit_and_grad_free():
+    """c2f trace is jittable and fully stop-gradient (no params touched)."""
+    import dataclasses
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+
+    def sdf(p):
+        return jnp.linalg.norm(p, axis=-1) - 0.5
+
+    coarse = lambda p: sdf(p).astype(jnp.bfloat16).astype(jnp.float32)
+    ray_o = jnp.array([[0.0, 0.0, 3.0]] * 8)
+    ray_d = jnp.array([[0.0, 0.0, -1.0]] * 8)
+    f = jax.jit(lambda: raytrace(sdf, ray_o, ray_d, jnp.full((8,), 1.0),
+                                 jnp.full((8,), 5.0), jnp.ones((8,), bool),
+                                 TracerConfig(), coarse_sdf_fn=coarse))
+    out = f()
+    np.testing.assert_allclose(np.asarray(out["distance"]), 2.5, atol=1e-3)
