@@ -104,3 +104,67 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
     return jax.jit(step_fn,
                    in_shardings=(None, None, sh, sh, sh, sh),
                    donate_argnums=(0, 1))
+
+
+def make_dp_stage1_render(cfg: Stage1Config, mesh: Mesh) -> Callable:
+    """Collective-aware full-image validation render (SURVEY §2.5): the ray
+    grid is sharded over `dp`, every device integrates its slice of rays,
+    and the partitioner gathers the image (the reference loops 1024-ray
+    chunks on one GPU, render_volume.py:660-661).
+
+    Returns jitted (params, rays_o [N,3], rays_d [N,3]) -> (color [N,3],
+    normal [N,3]); N must divide by mesh.shape['dp'].
+    """
+    from iron_tpu.train.stage1 import stage1_render
+    from iron_tpu.data.dataset import near_far_from_sphere
+
+    sh = NamedSharding(mesh, P("dp", None))
+    repl = NamedSharding(mesh, P())
+
+    def render(params, rays_o, rays_d):
+        near, far = near_far_from_sphere(rays_o, rays_d)
+        out = stage1_render(params, cfg, rays_o, rays_d, near, far,
+                            None, 1.0, None, perturb_overwrite=0.0)
+        grads = out["gradients"]
+        normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
+        return out["color_fine"], normal
+
+    return jax.jit(render, in_shardings=(None, sh, sh),
+                   out_shardings=(repl, repl))
+
+
+def make_dp_stage2_render(cfg: Stage2Config, mat_cfgs, mesh: Mesh,
+                          H: int, W: int) -> Callable:
+    """Full-image surface render sharded over `dp` as horizontal bands:
+    each device runs the whole trace+edge+shade pipeline on its band
+    (crop_camera keeps the intrinsics consistent), and the bands are
+    gathered into the [H, W] image.  Edge candidates are detected per band,
+    so a silhouette crossing a band boundary is handled by both sides
+    independently — same semantics as the reference's crop-wise rendering.
+
+    Returns jitted (params, K [4,4], W2C [4,4]) -> {color, normal, depth,
+    convergent_mask} with [H, W, ...] buffers.
+    """
+    import dataclasses as _dc
+    from iron_tpu.train.stage2 import stage2_render_buffers
+
+    D = mesh.shape["dp"]
+    assert H % D == 0, f"image height {H} must divide dp={D}"
+    band = H // D
+    sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    def render(params, K, W2C):
+        base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
+                      C2W=jnp.linalg.inv(W2C), H=H, W=W)
+        rows = jnp.arange(D, dtype=jnp.int32) * band
+
+        def one_band(row0):
+            cam = crop_camera(base, 0, row0, W, band)
+            return stage2_render_buffers(params, mat_cfgs, cfg, cam)
+
+        out = jax.vmap(one_band)(rows)          # [D, band, W, ...]
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((H,) + x.shape[2:]), out)
+
+    return jax.jit(render, in_shardings=(None, repl, repl))

@@ -187,6 +187,23 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     return loss, metrics
 
 
+def stage2_render_buffers(params, mat_cfgs, cfg: Stage2Config,
+                          cam: Camera) -> Dict[str, jnp.ndarray]:
+    """Pure eval-mode surface render of one camera -> fixed buffer dict
+    (color/normal/depth/convergent_mask, all [H, W, ...]).  Used by the
+    dist sharded full-image render (dist/train.py) and jittable/vmappable."""
+    sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
+    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
+        cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
+        normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
+    res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
+                        is_training=False)
+    return {"color": res["color"], "normal": res["normal"],
+            "depth": res["depth"],
+            "convergent_mask": res["convergent_mask"].astype(jnp.float32)}
+
+
 class Stage2Trainer:
     def __init__(self, cfg: Stage2Config, images: np.ndarray, Ks: np.ndarray,
                  W2Cs: np.ndarray, key: Optional[jax.Array] = None,

@@ -116,3 +116,78 @@ def test_dp_stage2_step_runs():
                    shard_batch(keys, mesh), shard_batch(img_idx, mesh),
                    shard_batch(ul[0], mesh), shard_batch(ul[1], mesh))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_stage1_render_matches_single_device():
+    """Sharded full-image render == the chunked single-device render."""
+    _need_devices(8)
+    mesh = make_mesh(dp=8, tp=1)
+    cfg = _tiny_stage1_cfg()
+    params = init_stage1_params(jax.random.PRNGKey(0), cfg)
+
+    from iron_tpu.dist.train import make_dp_stage1_render
+    from iron_tpu.train.stage1 import stage1_render
+    from iron_tpu.data.dataset import near_far_from_sphere
+
+    n = 256
+    g = np.random.default_rng(1)
+    d = g.normal(size=(n, 3)); d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ro = jnp.asarray(3.0 * d, jnp.float32)
+    rd = jnp.asarray(-d, jnp.float32)
+
+    render = make_dp_stage1_render(cfg, mesh)
+    color, normal = render(params, ro, rd)
+
+    near, far = near_far_from_sphere(ro, rd)
+    ref = stage1_render(params, cfg, ro, rd, near, far, None, 1.0, None,
+                        perturb_overwrite=0.0)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref["color_fine"]),
+                               atol=1e-5)
+    assert color.shape == (n, 3) and normal.shape == (n, 3)
+
+
+def test_dp_stage2_render_matches_single_device():
+    """Band-sharded full-image surface render == one-camera render_camera."""
+    _need_devices(8)
+    mesh = make_mesh(dp=8, tp=1)
+    data = render_synthetic_dataset("sphere", n_views=2, H=48, W=48, light=30.0)
+    from iron_tpu.surface.tracer import TracerConfig
+    # fallback_budget=None: static budgets are per-render-call, so a band
+    # render would otherwise have 8x the effective budget of the full image
+    # and converge rays the full render starves (documented deviation #4) —
+    # full-tile fallback makes band and full renders geometrically identical
+    cfg = Stage2Config(renderer_name="ggx", patch_size=16,
+                       surface=SurfaceRenderConfig(
+                           edge_budget=64, edge_side_fallback_budget=16,
+                           handle_edges=False,
+                           tracer=TracerConfig(sphere_tracing_iters=24,
+                                               dense_iters=24,
+                                               fallback_budget=None)))
+    params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    params["materials"]["point_light_network"]["light"] = jnp.asarray(
+        init_light_from_cameras(data["W2Cs"]), jnp.float32)
+
+    from iron_tpu.dist.train import make_dp_stage2_render
+    from iron_tpu.train.stage2 import stage2_render_buffers
+    from iron_tpu.core.camera import make_camera
+
+    H = W = 48
+    render = make_dp_stage2_render(cfg, mat_cfgs, mesh, H, W)
+    out = render(params, jnp.asarray(data["Ks"][0]), jnp.asarray(data["W2Cs"][0]))
+    assert out["color"].shape == (H, W, 3)
+
+    cam = make_camera(np.asarray(data["Ks"][0]), np.asarray(data["W2Cs"][0]), H, W)
+    ref = stage2_render_buffers(params, mat_cfgs, cfg, cam)
+    # band-sharded hole filling / depth ops only differ at band seams for
+    # edge-dependent buffers; with edges off the pipeline is purely per-ray
+    # except the 3x3 closing, so compare away from band boundaries
+    rows = np.setdiff1d(np.arange(H), np.concatenate(
+        [np.arange(H, step=H // 8), np.arange(H, step=H // 8) - 1]))
+    # crop rays differ from full-grid rays at float ulp level, which can
+    # flip grazing silhouette rays to a marginally different root — allow
+    # sub-1e-2 color differences and a handful of disagreeing mask pixels
+    np.testing.assert_allclose(np.asarray(out["color"])[rows],
+                               np.asarray(ref["color"])[rows], atol=1e-2)
+    mask_diff = (np.asarray(out["convergent_mask"])[rows]
+                 != np.asarray(ref["convergent_mask"])[rows])
+    assert mask_diff.mean() < 0.005
