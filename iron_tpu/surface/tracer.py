@@ -58,6 +58,12 @@ class TracerConfig:
     # SDF error is ~1e-2, so coarse_threshold must sit well above it.
     coarse_threshold: float = 2.0e-2
     refine_iters: int = 8
+    # When the dense fallback sweep runs on the coarse evaluator, the flip
+    # is re-located with accurate evaluations over z_flip +- this margin
+    # (must exceed the coarse evaluator's SDF error; bf16 error ~1e-2).
+    fallback_revalidate_margin: float = 2.5e-2
+    # Run the fallback sweep on the coarse evaluator when one is available.
+    fallback_coarse: bool = True
 
 
 def budget_select(flat_mask: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -178,16 +184,26 @@ def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
 
 
 def ray_sampler(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
-                cfg: TracerConfig = TracerConfig()):
+                cfg: TracerConfig = TracerConfig(),
+                coarse_sdf_fn: Callable | None = None):
     """Dense fallback sampling + first-sign-flip bracket (raytracer.py:142-197).
 
     Runs on the full tile; `work_mask` gates which rays matter.  Returns
     (rootfind_mask, points, sdf, distance).
+
+    With `coarse_sdf_fn`, the n_steps dense sweep (the dominant fallback
+    cost) runs on the cheap evaluator; the flip is then re-located inside a
+    z_flip ± fallback_revalidate_margin distance window re-evaluated with
+    the accurate fn, so the bracket handed to bisection is always
+    accurate-sign-valid.  Features whose SDF dip is shallower than the
+    coarse evaluator's error can be missed — the trade is documented in
+    PARITY.md (budgets/precision deviations).
     """
     t = jnp.linspace(0.0, 1.0, cfg.n_steps)
     intervals = min_dis[..., None] + t * (max_dis - min_dis)[..., None]  # [..., S]
     pts = ray_o[..., None, :] + ray_d[..., None, :] * intervals[..., None]
-    sdf_val = sdf_fn(pts)  # [..., S]
+    sweep_fn = coarse_sdf_fn if coarse_sdf_fn is not None else sdf_fn
+    sdf_val = sweep_fn(pts)  # [..., S]
 
     # first index whose sdf is negative: sign * reversed arange, argmin
     rev = jnp.arange(cfg.n_steps, 0, -1, dtype=sdf_val.dtype)
@@ -196,11 +212,40 @@ def ray_sampler(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     min_idx = jnp.argmin(tmp, axis=-1)
     rootfind_mask = work_mask & (min_val < 0.0) & (min_idx >= 1)
 
-    idx = jnp.clip(min_idx, 1, cfg.n_steps - 1)
-    z_low = jnp.take_along_axis(intervals, (idx - 1)[..., None], axis=-1)[..., 0]
-    z_high = jnp.take_along_axis(intervals, idx[..., None], axis=-1)[..., 0]
-    f_low = jnp.take_along_axis(sdf_val, (idx - 1)[..., None], axis=-1)[..., 0]
-    f_high = jnp.take_along_axis(sdf_val, idx[..., None], axis=-1)[..., 0]
+    if coarse_sdf_fn is not None:
+        # Accurate re-evaluation of a *distance* window around the coarse
+        # flip.  The window must cover the coarse evaluator's SDF error
+        # (bf16 ~1e-2) regardless of the sweep's sample spacing: the true
+        # root lies within ~error of the coarse flip position (unit
+        # Lipschitz), while its sample-index offset is unbounded when the
+        # interval is short.  W=8 accurate points over z_flip +- margin.
+        W = 8
+        spacing = (max_dis - min_dis) / (cfg.n_steps - 1)
+        margin = jnp.maximum(2.0 * spacing, cfg.fallback_revalidate_margin)
+        z_flip = jnp.take_along_axis(
+            intervals, jnp.clip(min_idx, 1, cfg.n_steps - 1)[..., None],
+            axis=-1)[..., 0]
+        tw = jnp.linspace(0.0, 1.0, W)
+        z_w = (z_flip - margin)[..., None] + tw * (2.0 * margin)[..., None]
+        z_w = jnp.clip(z_w, min_dis[..., None], max_dis[..., None])
+        p_w = ray_o[..., None, :] + ray_d[..., None, :] * z_w[..., None]
+        f_w = sdf_fn(p_w)                                          # [..., W]
+        rev_w = jnp.arange(W, 0, -1, dtype=f_w.dtype)
+        tmp_w = jnp.sign(f_w) * rev_w
+        w_min_idx = jnp.argmin(tmp_w, axis=-1)
+        ok = (jnp.min(tmp_w, axis=-1) < 0.0) & (w_min_idx >= 1)
+        rootfind_mask = rootfind_mask & ok
+        w_idx = jnp.clip(w_min_idx, 1, W - 1)
+        z_low = jnp.take_along_axis(z_w, (w_idx - 1)[..., None], axis=-1)[..., 0]
+        z_high = jnp.take_along_axis(z_w, w_idx[..., None], axis=-1)[..., 0]
+        f_low = jnp.take_along_axis(f_w, (w_idx - 1)[..., None], axis=-1)[..., 0]
+        f_high = jnp.take_along_axis(f_w, w_idx[..., None], axis=-1)[..., 0]
+    else:
+        idx = jnp.clip(min_idx, 1, cfg.n_steps - 1)
+        z_low = jnp.take_along_axis(intervals, (idx - 1)[..., None], axis=-1)[..., 0]
+        z_high = jnp.take_along_axis(intervals, idx[..., None], axis=-1)[..., 0]
+        f_low = jnp.take_along_axis(sdf_val, (idx - 1)[..., None], axis=-1)[..., 0]
+        f_high = jnp.take_along_axis(sdf_val, idx[..., None], axis=-1)[..., 0]
 
     p_pred, z_pred, f_pred = bisection(sdf_fn, f_low, f_high, z_low, z_high,
                                        ray_o, ray_d, rootfind_mask, cfg)
@@ -261,9 +306,11 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
 
     K = cfg.fallback_budget
     n_rays = int(np.prod(work_mask.shape))
+    fb_coarse = coarse_sdf_fn if cfg.fallback_coarse else None
     if K is None or K >= n_rays:
         samp_conv, samp_pts, samp_sdf, samp_dis = ray_sampler(
-            sdf_fn, ray_o, ray_d, samp_min, samp_max, unfinished, cfg)
+            sdf_fn, ray_o, ray_d, samp_min, samp_max, unfinished, cfg,
+            coarse_sdf_fn=fb_coarse)
         use = unfinished
         convergent = jnp.where(use, samp_conv, convergent)
         pts = jnp.where(use[..., None], samp_pts, pts)
@@ -278,7 +325,7 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
             sdf_fn,
             ray_o.reshape(-1, 3)[sel], ray_d.reshape(-1, 3)[sel],
             samp_min.reshape(-1)[sel], samp_max.reshape(-1)[sel],
-            valid, cfg)
+            valid, cfg, coarse_sdf_fn=fb_coarse)
         upd = valid
         convergent = convergent.reshape(-1).at[sel].set(
             jnp.where(upd, s_conv, convergent.reshape(-1)[sel])).reshape(shape)

@@ -127,7 +127,9 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     trace_sdf_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     trace_sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
     coarse_sdf_fn = None
-    if cfg.coarse_trace_precision is not None:
+    # matmul precision only differs in cost on TPU (CPU runs f32 regardless),
+    # so the coarse march would just double the compiled program there
+    if cfg.coarse_trace_precision is not None and jax.default_backend() == "tpu":
         coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
         coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
     shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(

@@ -8,7 +8,8 @@ from iron_tpu.shading import (smith_g1, ggx_ndf, fresnel_dielectric,
                               mts_diff_trans_table, ggx_colocated,
                               rough_plastic_colocated, smooth_dielectric,
                               thin_dielectric, smooth_conductor_colocated,
-                              rough_conductor_colocated, composite_colocated)
+                              rough_conductor_colocated, composite_colocated,
+                              mixture_colocated)
 from conftest import has_reference
 
 need_ref = pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
@@ -158,3 +159,48 @@ def test_brdf_parity(name):
     for k in ["diffuse_rgb", "specular_rgb", "rgb"]:
         np.testing.assert_allclose(np.asarray(ours[k]), ref[k].numpy(),
                                    rtol=2e-4, atol=1e-5, err_msg=f"{name}:{k}")
+
+
+@need_ref
+def test_mixture_parity():
+    """CoLocRenderer parity (renderer_ggx.py:31-58).  The reference's
+    RoughPlasticCoLocRenderer crashes on its float-eta Fresnel indexing, so
+    the oracle composition zeroes that component's weight and checks the
+    3 runnable renderers' weighted blend + key layout."""
+    from oracle import import_reference
+    import_reference()
+    import torch
+    import models.renderer_ggx as R
+
+    light, distance, normal, viewdir, params = _rand_shading(seed=5)
+    mv = params["material_vector"].copy()
+    mv[:, 0] = 0.0  # rough_plastic weight off (unrunnable in the reference)
+    params["material_vector"] = mv
+
+    t = lambda x: torch.from_numpy(np.asarray(x))
+    tl, td, tn, tv = t(light), t(distance), t(normal), t(viewdir)
+    da, sa, al = t(params["diffuse_albedo"]), t(params["specular_albedo"]), \
+        t(params["specular_roughness"])
+    res_di = R.SmoothDielectricRenderer()(tl, td, tn, tv, da, sa, al)
+    res_rc = R.RoughConductorCoLocRenderer(ior_path="/nonexistent")(tl, td, tn, tv, da, sa, al)
+    res_sc = R.SmoothConductorCoLocRenderer(ior_path="/nonexistent")(tl, td, tn, tv, da, sa, al)
+    tmv = t(mv)
+    ref_diffuse = (tmv[..., 1:2] * res_di["diffuse_rgb"]
+                   + tmv[..., 2:3] * res_rc["diffuse_rgb"]
+                   + tmv[..., 3:4] * res_sc["diffuse_rgb"])
+    ref_specular = (tmv[..., 1:2] * res_di["specular_rgb"]
+                    + tmv[..., 2:3] * res_rc["specular_rgb"]
+                    + tmv[..., 3:4] * res_sc["specular_rgb"])
+
+    j = lambda x: jnp.asarray(x)
+    jp = {k: j(v) for k, v in params.items()}
+    ours = mixture_colocated(light, j(distance), j(normal), j(viewdir), jp)
+    # zero out the rough_plastic part like the reference composition
+    np.testing.assert_allclose(np.asarray(ours["diffuse_rgb"]),
+                               ref_diffuse.numpy(), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours["specular_rgb"]),
+                               ref_specular.numpy(), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours["rgb"]),
+                               (ref_diffuse + ref_specular).numpy(),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours["material_map"]), mv, atol=0)

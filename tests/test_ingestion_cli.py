@@ -108,3 +108,45 @@ def test_cli_two_stage_dry_run(scene_dir, tmp_path):
                    "--skip_final_export"])
     assert latest_checkpoint(out2) is not None
     assert os.path.isfile(os.path.join(out2, "args.txt"))
+
+
+@pytest.mark.slow
+def test_cli_env_flash_warm_start(scene_dir, tmp_path, capsys):
+    """env<->flash handoff (model_volume.py:134-159): a second stage-1 run
+    warm-starts from another experiment's latest checkpoint via
+    --init_ckpt_dir."""
+    root, _ = scene_dir
+    conf = {
+        "general": {"base_exp_dir": str(tmp_path / "exp_env")},
+        "dataset": {"data_dir": root, "folder_name": "image"},
+        "train": {"end_iter": 10, "batch_size": 64, "warm_up_end": 2,
+                  "anneal_end": 5, "val_freq": 10, "report_freq": 10,
+                  "save_freq": 10},
+        "model": {
+            "sdf_network": {"d_out": 33, "d_hidden": 32, "n_layers": 2,
+                            "skip_in": [], "multires": 2},
+            "rendering_network": {"d_feature": 32, "d_hidden": 32,
+                                  "n_layers": 2, "skip_in": [],
+                                  "multires": 0, "multires_view": 0},
+            "neus_renderer": {"n_samples": 8, "n_importance": 8,
+                              "n_outside": 0, "up_sample_steps": 2},
+        },
+    }
+    conf_path = tmp_path / "conf_env.json"
+    conf_path.write_text(json.dumps(conf))
+
+    from iron_tpu.cli.train_volume import main as train_volume
+    train_volume(["--mode", "train", "--conf", str(conf_path),
+                  "--num_iters", "10"])
+
+    conf["general"]["base_exp_dir"] = str(tmp_path / "exp_flash")
+    conf_path2 = tmp_path / "conf_flash.json"
+    conf_path2.write_text(json.dumps(conf))
+    capsys.readouterr()
+    train_volume(["--mode", "train", "--conf", str(conf_path2),
+                  "--num_iters", "10",
+                  "--init_ckpt_dir", str(tmp_path / "exp_env")])
+    out = capsys.readouterr().out
+    assert "warm-started from" in out
+    from iron_tpu.train.checkpoints import latest_checkpoint
+    assert latest_checkpoint(str(tmp_path / "exp_flash")) is not None

@@ -204,3 +204,76 @@ def test_coarse_to_fine_jit_and_grad_free():
                                  TracerConfig(), coarse_sdf_fn=coarse))
     out = f()
     np.testing.assert_allclose(np.asarray(out["distance"]), 2.5, atol=1e-3)
+
+
+def test_coarse_fallback_sweep_matches_accurate():
+    """Force every ray through the dense fallback (zero sphere-trace iters):
+    the coarse sweep + accurate window revalidation must find the same roots
+    as the accurate-only sweep."""
+    import dataclasses
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+
+    def sdf(p):
+        return jnp.linalg.norm(p, axis=-1) - 0.6
+
+    def coarse(p):
+        v = sdf(p).astype(jnp.bfloat16).astype(jnp.float32)
+        return v + 4e-3 * jnp.sin(53.0 * p[..., 1])
+
+    n = 512
+    key = jax.random.PRNGKey(7)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ray_o = 2.5 * d
+    target = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (n, 3))
+    ray_d = target - ray_o
+    ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    min_dis = jnp.full((n,), 0.5)
+    max_dis = jnp.full((n,), 4.5)
+    work = jnp.ones((n,), bool)
+
+    cfg = TracerConfig(sphere_tracing_iters=0, dense_iters=0, refine_iters=0,
+                       fallback_budget=None)
+    ref = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg)
+    c2f = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg,
+                   coarse_sdf_fn=coarse)
+
+    ref_conv = np.asarray(ref["convergent_mask"])
+    c2f_conv = np.asarray(c2f["convergent_mask"])
+    assert ref_conv.sum() > 100
+    # near-tangent rays may be found by one sampling pattern and not the
+    # other; the revalidation guarantees any c2f root is accurate-sign-valid,
+    # so require near-total agreement + exactness of every found root
+    assert (c2f_conv != ref_conv).mean() < 0.005
+    both = ref_conv & c2f_conv
+    np.testing.assert_allclose(np.asarray(c2f["distance"])[both],
+                               np.asarray(ref["distance"])[both], atol=1e-3)
+    hit_sdf = np.asarray(sdf(c2f["points"]))[c2f_conv]
+    assert np.abs(hit_sdf).max() <= cfg.sdf_threshold * 1.01
+
+
+def test_coarse_fallback_disabled_by_flag():
+    """fallback_coarse=False keeps the 128-sample sweep on the accurate fn
+    (the coarse fn sees only sphere-trace-shaped [N] inputs, never the
+    [N, n_steps] sweep)."""
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+    shapes = []
+
+    def sdf(p):
+        return jnp.linalg.norm(p, axis=-1) - 0.5
+
+    def coarse(p):
+        shapes.append(p.shape)
+        return sdf(p)
+
+    ray_o = jnp.array([[0.0, 0.0, 3.0]] * 8)
+    ray_d = jnp.array([[0.0, 0.0, -1.0]] * 8)
+    for flag in (False, True):
+        shapes.clear()
+        cfg = TracerConfig(sphere_tracing_iters=0, dense_iters=0,
+                           refine_iters=0, fallback_budget=None,
+                           fallback_coarse=flag)
+        raytrace(sdf, ray_o, ray_d, jnp.full((8,), 1.0), jnp.full((8,), 5.0),
+                 jnp.ones((8,), bool), cfg, coarse_sdf_fn=coarse)
+        swept = any(len(s) == 3 and s[1] == cfg.n_steps for s in shapes)
+        assert swept == flag
