@@ -58,9 +58,11 @@ def test_train_volume_cli(scene_dir, tmp_path):
 def test_train_surface_cli_render_all(scene_dir, tmp_path):
     import iron_tpu.cli.train_surface as ts
     out_dir = str(tmp_path / "exp2")
+    # --export_res 64: the default 512^3 final export costs ~25 min of CPU
+    # SDF sweeps and adds no coverage over the 64^3 path
     ts.main(["--data_dir", os.path.join(scene_dir, "train"),
              "--out_dir", out_dir, "--renderer_name", "ggx",
-             "--num_iters", "3", "--patch_size", "16"])
+             "--num_iters", "3", "--patch_size", "16", "--export_res", "64"])
     # trainer ran to num_iters and exported assets
     assert any("mesh_and_materials" in f for f in os.listdir(out_dir))
     mesh_dirs = [f for f in os.listdir(out_dir) if "mesh_and_materials" in f]
