@@ -90,6 +90,23 @@ def blobby_scene(radius: float = 0.45, amp: float = 0.08):
     return sdf_fn, sdf_all_fn
 
 
+def torus_scene(R: float = 0.42, r: float = 0.18):
+    """Torus in the xz-plane: a genus-1 surface with a hole, self-occlusion
+    from most views, and strong silhouettes — the hardest of the analytic
+    test scenes for the tracer + edge sampler."""
+    def sdf_fn(p):
+        q = jnp.stack([jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - R,
+                       p[..., 1]], axis=-1)
+        return jnp.linalg.norm(q, axis=-1) - r
+
+    def sdf_all_fn(p):
+        v, vjp_fn = jax.vjp(sdf_fn, p)
+        (g,) = vjp_fn(jnp.ones_like(v))
+        return v, jnp.zeros(p.shape[:-1] + (16,)), g
+
+    return sdf_fn, sdf_all_fn
+
+
 def make_ggx_shade_fn(light: float, diffuse_albedo=(0.6, 0.3, 0.2),
                       specular_albedo=0.3, roughness=0.2):
     da = jnp.asarray(diffuse_albedo)
@@ -115,8 +132,9 @@ def render_synthetic_dataset(scene: str = "sphere", n_views: int = 12,
                              H: int = 128, W: int = 128, light: float = 30.0,
                              **scene_kwargs) -> Dict:
     """Render a co-located-flash multiview dataset with GT geometry."""
-    sdf_fn, sdf_all_fn = (sphere_scene(**scene_kwargs) if scene == "sphere"
-                          else blobby_scene(**scene_kwargs))
+    makers = {"sphere": sphere_scene, "blobby": blobby_scene,
+              "torus": torus_scene}
+    sdf_fn, sdf_all_fn = makers[scene](**scene_kwargs)
     shade_fn = make_ggx_shade_fn(light)
     cams, Ks, W2Cs = ring_cameras(n_views, H=H, W=W)
     cfg = SurfaceRenderConfig(edge_budget=1024)

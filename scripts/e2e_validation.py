@@ -29,7 +29,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", default="./exp_e2e_validation")
     p.add_argument("--fast", action="store_true", help="tiny iteration counts")
-    p.add_argument("--scene", default="blobby", choices=["sphere", "blobby"])
+    p.add_argument("--scene", default="blobby", choices=["sphere", "blobby", "torus"])
     p.add_argument("--stage1_iters", type=int, default=3000)
     p.add_argument("--stage2_iters", type=int, default=1500)
     p.add_argument("--res", type=int, default=128)

@@ -130,3 +130,28 @@ def test_load_transforms_json(tmp_path):
     # identity GL pose looks down -z; OpenCV W2C must flip y/z
     W2C = cams["r_0.png"]["W2C"]
     np.testing.assert_allclose(W2C[:3, :3], np.diag([1.0, -1.0, -1.0]), atol=1e-6)
+
+
+def test_torus_scene_renders_with_hole():
+    """The torus golden scene shows a genus-1 silhouette: a face-on view has
+    background *inside* the ring (the data generator's hardest scene)."""
+    import jax.numpy as jnp
+    from iron_tpu.data.synthetic import render_synthetic_dataset, torus_scene
+    sdf_fn, sdf_all_fn = torus_scene()
+    # SDF sanity: ring center is inside-the-hole (positive), tube center
+    # is deepest inside the surface (== -r)
+    assert float(sdf_fn(jnp.zeros(3))) > 0.2
+    assert abs(float(sdf_fn(jnp.array([0.42, 0.0, 0.0]))) + 0.18) < 1e-6
+    d = render_synthetic_dataset("torus", n_views=3, H=96, W=96, light=30.0)
+    masks = d["masks"][..., 0]
+    assert 0.03 < masks.mean() < 0.4
+    # at least one view has a background pixel at the image center with
+    # object pixels on both sides of it in the same row (the hole)
+    import numpy as np
+    found_hole = False
+    for m in masks:
+        row = m[48]
+        on = np.nonzero(row > 0.5)[0]
+        if len(on) > 4 and row[48] < 0.5 and on.min() < 48 < on.max():
+            found_hole = True
+    assert found_hole
