@@ -277,3 +277,28 @@ def test_coarse_fallback_disabled_by_flag():
                  jnp.ones((8,), bool), cfg, coarse_sdf_fn=coarse)
         swept = any(len(s) == 3 and s[1] == cfg.n_steps for s in shapes)
         assert swept == flag
+
+
+def test_network_sdf_coarse_trace_convergence_matches():
+    """The coarse-to-fine march must not lose convergence on a *learned*
+    (geometric-init network) SDF — the workload stage 2 actually runs."""
+    from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_only
+    cfg_s = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg_s)
+    f = lambda p: sdf_only(params, p, cfg_s)
+    coarse = lambda p: f(p).astype(jnp.bfloat16).astype(jnp.float32)
+    ray_o, ray_d = _rays_towards_origin(2048, radius=1.0, jitter=0.12)
+    mask, near, far = intersect_sphere(ray_o, ray_d, 1.0)
+    cfg = TracerConfig()
+    ref = raytrace(f, ray_o, ray_d, near, far, mask, cfg)
+    c2f = raytrace(f, ray_o, ray_d, near, far, mask, cfg, coarse_sdf_fn=coarse)
+    ref_conv = np.asarray(ref["convergent_mask"])
+    c2f_conv = np.asarray(c2f["convergent_mask"])
+    assert ref_conv.mean() > 0.9
+    # coarse path may converge a handful of rays differently near grazing,
+    # but must not lose convergence wholesale
+    assert c2f_conv.mean() > ref_conv.mean() - 0.02
+    both = ref_conv & c2f_conv
+    d_ref = np.asarray(ref["distance"])[both]
+    d_c2f = np.asarray(c2f["distance"])[both]
+    assert np.percentile(np.abs(d_ref - d_c2f), 99) < 2e-3
