@@ -73,6 +73,13 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
     Returns jitted (params, opt_state, keys [D], img_idx [D], ul_col [D],
     ul_row [D]) -> (params, opt_state, metrics).
     """
+    import dataclasses as _dc
+    if cfg.surface.interior_budget is not None:
+        # under vmap the interior-budget lax.cond lowers to a select that
+        # evaluates BOTH branches per crop — strictly slower than full-tile
+        # shading, so disable the budget on the vmapped dp path
+        cfg = _dc.replace(cfg, surface=_dc.replace(cfg.surface,
+                                                   interior_budget=None))
     ps = cfg.patch_size
     H, W = images.shape[1:3]
     images = jnp.asarray(images, jnp.float32)
@@ -115,20 +122,12 @@ def make_dp_stage1_render(cfg: Stage1Config, mesh: Mesh) -> Callable:
     Returns jitted (params, rays_o [N,3], rays_d [N,3]) -> (color [N,3],
     normal [N,3]); N must divide by mesh.shape['dp'].
     """
-    from iron_tpu.train.stage1 import stage1_render
-    from iron_tpu.data.dataset import near_far_from_sphere
+    from iron_tpu.train.stage1 import stage1_render_color_normal
 
     sh = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
-
-    def render(params, rays_o, rays_d):
-        near, far = near_far_from_sphere(rays_o, rays_d)
-        out = stage1_render(params, cfg, rays_o, rays_d, near, far,
-                            None, 1.0, None, perturb_overwrite=0.0)
-        grads = out["gradients"]
-        normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
-        return out["color_fine"], normal
-
+    render = lambda params, rays_o, rays_d: stage1_render_color_normal(
+        params, cfg, rays_o, rays_d)
     return jax.jit(render, in_shardings=(None, sh, sh),
                    out_shardings=(repl, repl))
 
@@ -145,7 +144,6 @@ def make_dp_stage2_render(cfg: Stage2Config, mat_cfgs, mesh: Mesh,
     Returns jitted (params, K [4,4], W2C [4,4]) -> {color, normal, depth,
     convergent_mask} with [H, W, ...] buffers.
     """
-    import dataclasses as _dc
     from iron_tpu.train.stage2 import stage2_render_buffers
 
     D = mesh.shape["dp"]
@@ -157,14 +155,21 @@ def make_dp_stage2_render(cfg: Stage2Config, mat_cfgs, mesh: Mesh,
     def render(params, K, W2C):
         base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
                       C2W=jnp.linalg.inv(W2C), H=H, W=W)
-        rows = jnp.arange(D, dtype=jnp.int32) * band
+        # the band axis carries the dp sharding — without this constraint
+        # GSPMD has no sharded operand to propagate from and every device
+        # would render all D bands replicated
+        rows = jax.lax.with_sharding_constraint(
+            jnp.arange(D, dtype=jnp.int32) * band, sh)
 
         def one_band(row0):
             cam = crop_camera(base, 0, row0, W, band)
             return stage2_render_buffers(params, mat_cfgs, cfg, cam)
 
-        out = jax.vmap(one_band)(rows)          # [D, band, W, ...]
+        out = jax.vmap(one_band)(rows)          # [D, band, W, ...], dp on axis 0
+        out = jax.lax.with_sharding_constraint(
+            out, jax.tree_util.tree_map(lambda _: sh, out))
         return jax.tree_util.tree_map(
             lambda x: x.reshape((H,) + x.shape[2:]), out)
 
-    return jax.jit(render, in_shardings=(None, repl, repl))
+    return jax.jit(render, in_shardings=(None, repl, repl),
+                   out_shardings=repl)

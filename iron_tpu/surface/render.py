@@ -237,10 +237,8 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
     # ---- interior shading ----
     B = cfg.interior_budget
     if B is not None and B < H * W:
-        from iron_tpu.surface.tracer import budget_select
         flat_mask = res["convergent_mask"].reshape(-1)
-        sel = budget_select(flat_mask, B)
-        valid = flat_mask[sel]
+        sel, valid = _select_topk_mask(flat_mask, B)
         ro_f = res["ray_o"].reshape(-1, 3)
         rd_f = res["ray_d"].reshape(-1, 3)
         pts_f = res["points"].reshape(-1, 3)

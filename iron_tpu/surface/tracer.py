@@ -213,7 +213,7 @@ def ray_sampler(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     rootfind_mask = work_mask & (min_val < 0.0) & (min_idx >= 1)
 
     if coarse_sdf_fn is not None:
-        # Accurate re-evaluation of a *distance* window around the coarse
+        # Accurate re-evaluation of a *distance* window around a coarse
         # flip.  The window must cover the coarse evaluator's SDF error
         # (bf16 ~1e-2) regardless of the sweep's sample spacing: the true
         # root lies within ~error of the coarse flip position (unit
@@ -222,24 +222,44 @@ def ray_sampler(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
         W = 8
         spacing = (max_dis - min_dis) / (cfg.n_steps - 1)
         margin = jnp.maximum(2.0 * spacing, cfg.fallback_revalidate_margin)
-        z_flip = jnp.take_along_axis(
-            intervals, jnp.clip(min_idx, 1, cfg.n_steps - 1)[..., None],
-            axis=-1)[..., 0]
         tw = jnp.linspace(0.0, 1.0, W)
-        z_w = (z_flip - margin)[..., None] + tw * (2.0 * margin)[..., None]
-        z_w = jnp.clip(z_w, min_dis[..., None], max_dis[..., None])
-        p_w = ray_o[..., None, :] + ray_d[..., None, :] * z_w[..., None]
-        f_w = sdf_fn(p_w)                                          # [..., W]
-        rev_w = jnp.arange(W, 0, -1, dtype=f_w.dtype)
-        tmp_w = jnp.sign(f_w) * rev_w
-        w_min_idx = jnp.argmin(tmp_w, axis=-1)
-        ok = (jnp.min(tmp_w, axis=-1) < 0.0) & (w_min_idx >= 1)
+        rev_w = jnp.arange(W, 0, -1, dtype=jnp.float32)
+
+        def revalidate(flip_idx):
+            """Accurate window around sample flip_idx -> (ok, bracket)."""
+            z_flip = jnp.take_along_axis(
+                intervals, jnp.clip(flip_idx, 1, cfg.n_steps - 1)[..., None],
+                axis=-1)[..., 0]
+            z_w = (z_flip - margin)[..., None] + tw * (2.0 * margin)[..., None]
+            z_w = jnp.clip(z_w, min_dis[..., None], max_dis[..., None])
+            p_w = ray_o[..., None, :] + ray_d[..., None, :] * z_w[..., None]
+            f_w = sdf_fn(p_w)                                      # [..., W]
+            tmp_w = jnp.sign(f_w) * rev_w
+            w_min_idx = jnp.argmin(tmp_w, axis=-1)
+            ok = (jnp.min(tmp_w, axis=-1) < 0.0) & (w_min_idx >= 1)
+            w_idx = jnp.clip(w_min_idx, 1, W - 1)
+            take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+            return ok, (take(z_w, w_idx - 1), take(z_w, w_idx),
+                        take(f_w, w_idx - 1), take(f_w, w_idx))
+
+        ok1, br1 = revalidate(min_idx)
+        # Second candidate: a coarse flip can be a false positive (graze
+        # within the coarse error) while the ray truly hits further along —
+        # rerun the flip search beyond the rejected window instead of
+        # dropping the ray.
+        margin_idx = jnp.ceil(margin / jnp.maximum(spacing, 1e-12)).astype(jnp.int32)
+        beyond = jnp.arange(cfg.n_steps) > (min_idx + margin_idx)[..., None]
+        tmp2 = jnp.where(beyond, tmp, jnp.inf)
+        min_idx2 = jnp.argmin(tmp2, axis=-1)
+        has2 = jnp.min(tmp2, axis=-1) < 0.0
+        ok2, br2 = revalidate(min_idx2)
+        ok2 = ok2 & has2
+
+        use2 = (~ok1) & ok2
+        ok = ok1 | use2
         rootfind_mask = rootfind_mask & ok
-        w_idx = jnp.clip(w_min_idx, 1, W - 1)
-        z_low = jnp.take_along_axis(z_w, (w_idx - 1)[..., None], axis=-1)[..., 0]
-        z_high = jnp.take_along_axis(z_w, w_idx[..., None], axis=-1)[..., 0]
-        f_low = jnp.take_along_axis(f_w, (w_idx - 1)[..., None], axis=-1)[..., 0]
-        f_high = jnp.take_along_axis(f_w, w_idx[..., None], axis=-1)[..., 0]
+        pick = lambda a, b: jnp.where(use2, b, a)
+        z_low, z_high, f_low, f_high = (pick(a, b) for a, b in zip(br1, br2))
     else:
         idx = jnp.clip(min_idx, 1, cfg.n_steps - 1)
         z_low = jnp.take_along_axis(intervals, (idx - 1)[..., None], axis=-1)[..., 0]

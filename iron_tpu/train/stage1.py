@@ -142,6 +142,18 @@ def stage1_loss(params: Dict, cfg: Stage1Config, batch: jnp.ndarray, key,
     return loss, metrics
 
 
+def stage1_render_color_normal(params: Dict, cfg: Stage1Config, rays_o, rays_d):
+    """Eval-mode render of a flat ray batch -> (color [N,3], normal [N,3]).
+    Shared by the trainer's chunked validation renders and the dp-sharded
+    eval render (dist/train.py::make_dp_stage1_render); jittable."""
+    near, far = near_far_from_sphere(rays_o, rays_d)
+    out = stage1_render(params, cfg, rays_o, rays_d, near, far,
+                        None, 1.0, None, perturb_overwrite=0.0)
+    grads = out["gradients"]
+    normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
+    return out["color_fine"], normal
+
+
 class Stage1Trainer:
     """Single-host stage-1 training driver (multi-device via dist.train)."""
 
@@ -298,16 +310,9 @@ class Stage1Trainer:
         rd = jnp.concatenate([rd, jnp.ones((pad, 3))], 0)
 
         if not hasattr(self, "_render_chunk"):
-            @jax.jit
-            def render_chunk(params, ro_c, rd_c):
-                near, far = near_far_from_sphere(ro_c, rd_c)
-                out = stage1_render(params, self.cfg, ro_c, rd_c, near, far,
-                                    None, 1.0, None, perturb_overwrite=0.0)
-                grads = out["gradients"]
-                normal = jnp.sum(grads * out["weights"][:, :grads.shape[1], None], axis=1)
-                return out["color_fine"], normal
-
-            self._render_chunk = render_chunk
+            self._render_chunk = jax.jit(
+                lambda params, ro_c, rd_c: stage1_render_color_normal(
+                    params, self.cfg, ro_c, rd_c))
 
         colors, normals = [], []
         for i in range(0, ro.shape[0], chunk):

@@ -1,9 +1,10 @@
 """Sweep stage-2 trainer perf knobs on the real chip (one JSON line each)."""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys, time, json
+import time, json
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from iron_tpu.data.synthetic import render_synthetic_dataset
 from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer

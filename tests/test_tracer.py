@@ -302,3 +302,40 @@ def test_network_sdf_coarse_trace_convergence_matches():
     d_ref = np.asarray(ref["distance"])[both]
     d_c2f = np.asarray(c2f["distance"])[both]
     assert np.percentile(np.abs(d_ref - d_c2f), 99) < 2e-3
+
+
+def test_coarse_fallback_second_candidate_after_false_graze():
+    """A coarse false-positive flip at a graze must not kill the ray: the
+    revalidation rejects the graze and the second candidate search finds the
+    true hit further along the ray."""
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+
+    # small sphere the ray grazes by 3e-3, then a big sphere it truly hits
+    def sdf(p):
+        graze = jnp.linalg.norm(p - jnp.array([0.0, 0.103, 2.0]), axis=-1) - 0.1
+        hit = jnp.linalg.norm(p, axis=-1) - 0.5
+        return jnp.minimum(graze, hit)
+
+    # coarse evaluator with a deterministic -6e-3 bias: the graze (accurate
+    # min +3e-3) looks like a surface crossing to the coarse sweep
+    coarse = lambda p: sdf(p) - 6e-3
+
+    n = 4
+    ray_o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+    ray_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    cfg = TracerConfig(sphere_tracing_iters=0, dense_iters=0, refine_iters=0,
+                       fallback_budget=None, fallback_revalidate_margin=2.5e-2)
+    min_dis = jnp.full((n,), 0.2)
+    max_dis = jnp.full((n,), 4.0)
+    work = jnp.ones((n,), bool)
+
+    ref = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg)
+    c2f = raytrace(sdf, ray_o, ray_d, min_dis, max_dis, work, cfg,
+                   coarse_sdf_fn=coarse)
+    assert bool(ref["convergent_mask"].all())
+    assert bool(c2f["convergent_mask"].all()), \
+        "false graze flip must not drop the ray"
+    # both find the true hit on the big sphere at z=0.5 -> distance 2.5
+    np.testing.assert_allclose(np.asarray(c2f["distance"]), 2.5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c2f["distance"]),
+                               np.asarray(ref["distance"]), atol=1e-3)
