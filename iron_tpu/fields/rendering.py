@@ -53,6 +53,11 @@ class RenderingConfig:
     def dims(self) -> Tuple[int, ...]:
         dims = [self.d_input] + [self.d_hidden] * self.n_layers + [self.d_out]
         for l in self.skip_in:
+            if not 0 < l < len(dims):
+                raise ValueError(
+                    f"skip_in index {l} out of range for n_layers="
+                    f"{self.n_layers}; pass skip_in=() (or a layer index "
+                    f"< {len(dims)}) when shrinking the network")
             dims[l] += dims[0]
         return tuple(dims)
 

@@ -297,19 +297,26 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         pos_w = 1.0 - (ang - jnp.sin(ang)) / (2.0 * jnp.pi)
 
         import dataclasses as _dc
+        # Both side passes run as ONE batched [2K] trace + shade: the two
+        # sides are independent (the reference runs them sequentially,
+        # raytracer.py:700-709), and batching doubles the matmul batch on
+        # these small edge-budget shapes.  The fallback budget doubles so
+        # per-side semantics are unchanged.
         side_cfg = _dc.replace(
             cfg, tracer=_dc.replace(cfg.tracer,
-                                    fallback_budget=cfg.edge_side_fallback_budget))
+                                    fallback_budget=2 * cfg.edge_side_fallback_budget))
 
-        def side(uv_side):
-            r = raytrace_pixels(trace_sdf_fn, cam, uv_side, mask=kept,
-                                cfg=side_cfg, coarse_sdf_fn=coarse_sdf_fn)
-            s = shade_masked(sdf_all_fn, shade_fn, r["ray_o"], r["ray_d"],
-                             r["points"], r["convergent_mask"] & kept, is_training)
-            return r, s
-
-        pos_res, pos_shade = side(pos_uv)
-        neg_res, neg_shade = side(neg_uv)
+        Kn = pos_uv.shape[0]
+        both_uv = jnp.concatenate([pos_uv, neg_uv], axis=0)
+        kept2 = jnp.concatenate([kept, kept], axis=0)
+        r2 = raytrace_pixels(trace_sdf_fn, cam, both_uv, mask=kept2,
+                             cfg=side_cfg, coarse_sdf_fn=coarse_sdf_fn)
+        s2 = shade_masked(sdf_all_fn, shade_fn, r2["ray_o"], r2["ray_d"],
+                          r2["points"], r2["convergent_mask"] & kept2,
+                          is_training)
+        split = lambda d, lo, hi: {k: v[lo:hi] for k, v in d.items()}
+        pos_res, neg_res = split(r2, 0, Kn), split(r2, Kn, 2 * Kn)
+        pos_shade, neg_shade = split(s2, 0, Kn), split(s2, Kn, 2 * Kn)
 
         edge_color = (pos_shade["color"] * pos_w[..., None]
                       + neg_shade["color"] * (1.0 - pos_w[..., None]))

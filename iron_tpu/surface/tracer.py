@@ -57,7 +57,16 @@ class TracerConfig:
     # accurate fn re-check and polish every ray to sdf_threshold.  bf16
     # SDF error is ~1e-2, so coarse_threshold must sit well above it.
     coarse_threshold: float = 2.0e-2
-    refine_iters: int = 8
+    # Full-tile accurate polish iterations after the coarse march.  Kept
+    # short: a handful of grazing rays otherwise keep the full-tile
+    # while_loop alive for its whole budget; stragglers past refine_iters
+    # are gathered (fallback_budget) for the remaining accurate steps.
+    refine_iters: int = 2
+    # The coarse march itself is two-phase for the same reason: after
+    # `coarse_dense_iters` full-tile steps, still-active rays gather into
+    # the budget for `coarse_straggler_iters` more coarse steps.
+    coarse_dense_iters: int = 12
+    coarse_straggler_iters: int = 16
     # When the dense fallback sweep runs on the coarse evaluator, the flip
     # is re-located with accurate evaluations over z_flip +- this margin
     # (must exceed the coarse evaluator's SDF error; bf16 error ~1e-2).
@@ -106,18 +115,48 @@ def _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active0, acc0, sdf0, n_iters,
     return active, acc, s
 
 
+def _budgeted_trace(sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
+                    n_iters: int, threshold: float, budget: int | None):
+    """Gather up to `budget` active rays, run n_iters masked trace steps on
+    just those, scatter back.  Falls back to the full tile when the budget
+    doesn't apply.  Returns updated (active, acc_dis, sdf_val)."""
+    shape = active.shape
+    n_rays = int(np.prod(shape))
+    if budget is None or budget >= n_rays:
+        return _trace_loop(sdf_fn, ray_o, ray_d, max_dis, active, acc_dis,
+                           sdf_val, n_iters, threshold)
+    act_f = active.reshape(-1)
+    sel = budget_select(act_f, budget)
+    valid = act_f[sel]
+    ro_s = ray_o.reshape(-1, 3)[sel]
+    rd_s = ray_d.reshape(-1, 3)[sel]
+    md_s = jnp.broadcast_to(max_dis, shape).reshape(-1)[sel]
+    a_s, acc_s, s_s = _trace_loop(
+        sdf_fn, ro_s, rd_s, md_s, valid,
+        acc_dis.reshape(-1)[sel], sdf_val.reshape(-1)[sel],
+        n_iters, threshold)
+    active = active.reshape(-1).at[sel].set(
+        jnp.where(valid, a_s, valid)).reshape(shape)
+    acc_dis = acc_dis.reshape(-1).at[sel].set(
+        jnp.where(valid, acc_s, acc_dis.reshape(-1)[sel])).reshape(shape)
+    sdf_val = sdf_val.reshape(-1).at[sel].set(
+        jnp.where(valid, s_s, sdf_val.reshape(-1)[sel])).reshape(shape)
+    return active, acc_dis, sdf_val
+
+
 def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
                  cfg: TracerConfig = TracerConfig(),
                  coarse_sdf_fn: Callable | None = None):
     """Two-phase masked sphere tracing (raytracer.py:105-140 semantics).
 
     With `coarse_sdf_fn` (a cheaper, lower-precision evaluator of the same
-    SDF), the dense full-tile march runs coarse-to-fine: coarse steps to
-    cfg.coarse_threshold, then cfg.refine_iters accurate full-tile steps
-    re-check and polish every ray to cfg.sdf_threshold.  Rays the coarse
-    march mis-judged are reactivated by the accurate re-evaluation, so the
-    result matches the accurate-only path up to sphere-tracing's own
-    convergence tolerance.
+    SDF), the march runs coarse-to-fine: coarse steps to
+    cfg.coarse_threshold (dense full tile, then budgeted stragglers), then
+    cfg.refine_iters accurate full-tile steps re-check and polish every ray
+    to cfg.sdf_threshold, with accurate budgeted stragglers after that.
+    Rays the coarse march mis-judged are reactivated by the accurate
+    re-evaluation, so the result matches the accurate-only path up to
+    sphere-tracing's own convergence tolerance.
 
     Returns (convergent_mask, unfinished_mask, points, sdf, distance), all
     full-shape [...].
@@ -128,53 +167,43 @@ def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     def unfinished(mask, s, d):
         return mask & (jnp.abs(s) > cfg.sdf_threshold) & (d < max_dis)
 
-    phase1 = min(cfg.dense_iters, cfg.sphere_tracing_iters)
     if coarse_sdf_fn is not None:
-        # coarse march on the cheap evaluator
+        # coarse march on the cheap evaluator: dense phase + budgeted
+        # stragglers (grazing rays would otherwise keep the full-tile
+        # while_loop alive for its whole iteration budget)
         s_c = coarse_sdf_fn(pts)
         active_c = work_mask & (jnp.abs(s_c) > cfg.coarse_threshold) & (acc_dis < max_dis)
-        _, acc_dis, _ = _trace_loop(
+        cd = min(cfg.coarse_dense_iters, cfg.sphere_tracing_iters)
+        cs = min(cfg.coarse_straggler_iters,
+                 max(cfg.sphere_tracing_iters - cd, 0))
+        refine = min(cfg.refine_iters, max(cfg.sphere_tracing_iters - cd, 0))
+        active_c, acc_dis, s_c = _trace_loop(
             coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
-            phase1, cfg.coarse_threshold)
-        # accurate re-evaluation + full-tile polish
+            cd, cfg.coarse_threshold)
+        if cs > 0:
+            _, acc_dis, _ = _budgeted_trace(
+                coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
+                cs, cfg.coarse_threshold, cfg.fallback_budget)
+        # accurate re-evaluation + short full-tile polish
         sdf_val = sdf_fn(ray_o + ray_d * acc_dis[..., None])
         active = unfinished(work_mask, sdf_val, acc_dis)
         active, acc_dis, sdf_val = _trace_loop(
             sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
-            cfg.refine_iters, cfg.sdf_threshold)
-        phase1 = phase1 + cfg.refine_iters
+            refine, cfg.sdf_threshold)
+        phase1 = cd + refine
     else:
         sdf_val = sdf_fn(pts)
         active0 = unfinished(work_mask, sdf_val, acc_dis)
+        phase1 = min(cfg.dense_iters, cfg.sphere_tracing_iters)
         active, acc_dis, sdf_val = _trace_loop(
             sdf_fn, ray_o, ray_d, max_dis, active0, acc_dis, sdf_val,
             phase1, cfg.sdf_threshold)
 
     rem = max(cfg.sphere_tracing_iters - phase1, 0)
-    K = cfg.fallback_budget
-    n_rays = int(np.prod(work_mask.shape))
-    if rem > 0 and K is not None and K < n_rays:
-        shape = work_mask.shape
-        act_f = active.reshape(-1)
-        sel = budget_select(act_f, K)
-        valid = act_f[sel]
-        ro_s = ray_o.reshape(-1, 3)[sel]
-        rd_s = ray_d.reshape(-1, 3)[sel]
-        md_s = jnp.broadcast_to(max_dis, shape).reshape(-1)[sel]
-        a_s, acc_s, s_s = _trace_loop(
-            sdf_fn, ro_s, rd_s, md_s, valid,
-            acc_dis.reshape(-1)[sel], sdf_val.reshape(-1)[sel],
-            rem, cfg.sdf_threshold)
-        active = active.reshape(-1).at[sel].set(
-            jnp.where(valid, a_s, active.reshape(-1)[sel])).reshape(shape)
-        acc_dis = acc_dis.reshape(-1).at[sel].set(
-            jnp.where(valid, acc_s, acc_dis.reshape(-1)[sel])).reshape(shape)
-        sdf_val = sdf_val.reshape(-1).at[sel].set(
-            jnp.where(valid, s_s, sdf_val.reshape(-1)[sel])).reshape(shape)
-    elif rem > 0:
-        active, acc_dis, sdf_val = _trace_loop(
+    if rem > 0:
+        active, acc_dis, sdf_val = _budgeted_trace(
             sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
-            rem, cfg.sdf_threshold)
+            rem, cfg.sdf_threshold, cfg.fallback_budget)
 
     pts = ray_o + ray_d * acc_dis[..., None]
     convergent = (work_mask & ~active

@@ -118,6 +118,16 @@ def _gamma(x):
     return jnp.power(x + 1e-6, 1.0 / 2.2)
 
 
+def _tpu_backend() -> bool:
+    """True on real TPU hardware, including tunneled PJRT plugins whose
+    platform name differs (e.g. 'axon').  Anything that is not cpu/gpu is
+    assumed TPU-like for matmul-precision purposes."""
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu", "cuda", "rocm")
+    except Exception:
+        return False
+
+
 def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
                 gt_crop: jnp.ndarray, key) -> Tuple[jnp.ndarray, Dict]:
     import dataclasses as _dc
@@ -129,7 +139,7 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     coarse_sdf_fn = None
     # matmul precision only differs in cost on TPU (CPU runs f32 regardless),
     # so the coarse march would just double the compiled program there
-    if cfg.coarse_trace_precision is not None and jax.default_backend() == "tpu":
+    if cfg.coarse_trace_precision is not None and _tpu_backend():
         coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
         coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
     shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(

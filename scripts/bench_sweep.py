@@ -25,8 +25,28 @@ def bench(tag, **kw):
     print(json.dumps({"tag": tag, "rays_per_s": round(PATCH*PATCH*ITERS/best, 1)}), flush=True)
 
 if __name__ == "__main__":
+    from iron_tpu.surface.tracer import TracerConfig
+    import dataclasses as _dc
     for arg in sys.argv[1:]:
         if arg == "baseline":
             bench("no_coarse", coarse_trace_precision=None)
         elif arg == "coarse":
             bench("coarse_default", coarse_trace_precision="default")
+        elif arg.startswith("c2f:"):
+            # c2f:cd=12,cs=16,rf=2,fb=2048,eb=1024,ib=4096,esb=512
+            kv = dict(s.split("=") for s in arg[4:].split(","))
+            tc = TracerConfig(
+                coarse_dense_iters=int(kv.get("cd", 12)),
+                coarse_straggler_iters=int(kv.get("cs", 16)),
+                refine_iters=int(kv.get("rf", 2)),
+                fallback_budget=int(kv.get("fb", 2048)),
+                n_steps=int(kv.get("ns", 128)),
+                sphere_tracing_iters=int(kv.get("st", 48)),
+            )
+            surf = SurfaceRenderConfig(
+                tracer=tc,
+                edge_budget=int(kv.get("eb", 1024)),
+                interior_budget=int(kv.get("ib", 4096)),
+                edge_side_fallback_budget=int(kv.get("esb", 512)),
+            )
+            bench(arg, surface=surf, coarse_trace_precision="default")

@@ -18,7 +18,8 @@ from iron_tpu.shading.materials import shade_points
 PATCH = 128
 data = render_synthetic_dataset("sphere", n_views=4, H=PATCH*2, W=PATCH*2, light=30.0)
 cfg = Stage2Config(renderer_name="comp", patch_size=PATCH,
-                   surface=SurfaceRenderConfig(edge_budget=1024))
+                   surface=SurfaceRenderConfig(edge_budget=1024,
+                                               interior_budget=4096))
 params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
 
 K = jnp.asarray(data["Ks"][0]); W2C = jnp.asarray(data["W2Cs"][0])
@@ -29,31 +30,47 @@ gt = jnp.zeros((PATCH, PATCH, 3))
 key = jax.random.PRNGKey(1)
 
 trace_cfg = dc.replace(cfg.sdf, precision=cfg.trace_precision)
+coarse_cfg = dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision or "default")
 
 def fns(params):
     sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
     sdf_all = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
     t_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     t_all = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
+    c_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
     shade = lambda ro, rd, pts, nrm, ft: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ro, rd, pts, nrm, ft)
-    return sdf_fn, sdf_all, t_fn, t_all, shade
+    return sdf_fn, sdf_all, t_fn, t_all, c_fn, shade
 
 def t_trace(params):
-    s, _, t, _, _ = fns(params)
+    s, _, t, _, c, _ = fns(params)
+    uv = pixel_grid(PATCH, PATCH)
+    return raytrace_pixels(t, cam, uv, cfg=cfg.surface,
+                           coarse_sdf_fn=c)["distance"].sum()
+
+def t_trace_nocoarse(params):
+    s, _, t, _, _, _ = fns(params)
     uv = pixel_grid(PATCH, PATCH)
     return raytrace_pixels(t, cam, uv, cfg=cfg.surface)["distance"].sum()
 
 def t_render_noedge(params):
-    s, sa, t, ta, sh = fns(params)
+    s, sa, t, ta, c, sh = fns(params)
     c2 = dc.replace(cfg.surface, handle_edges=False)
     return render_camera(s, sa, sh, cam, c2, is_training=False,
-                         trace_sdf_fn=t, trace_sdf_all_fn=ta)["color"].sum()
+                         trace_sdf_fn=t, trace_sdf_all_fn=ta,
+                         coarse_sdf_fn=c)["color"].sum()
 
 def t_render_full(params):
-    s, sa, t, ta, sh = fns(params)
+    s, sa, t, ta, c, sh = fns(params)
     return render_camera(s, sa, sh, cam, cfg.surface, is_training=False,
-                         trace_sdf_fn=t, trace_sdf_all_fn=ta)["color"].sum()
+                         trace_sdf_fn=t, trace_sdf_all_fn=ta,
+                         coarse_sdf_fn=c)["color"].sum()
+
+def t_render_train(params):
+    s, sa, t, ta, c, sh = fns(params)
+    return render_camera(s, sa, sh, cam, cfg.surface, is_training=True,
+                         trace_sdf_fn=t, trace_sdf_all_fn=ta,
+                         coarse_sdf_fn=c)["color"].sum()
 
 def t_loss(params):
     return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)[0]
@@ -73,8 +90,10 @@ def bench(name, fn):
         best = min(best, (time.perf_counter() - t0) / 10)
     print(json.dumps({"part": name, "ms": round(best*1e3, 2)}), flush=True)
 
-bench("trace_only", t_trace)
+bench("trace_only_coarse", t_trace)
+bench("trace_only_nocoarse", t_trace_nocoarse)
 bench("render_noedge_fwd", t_render_noedge)
 bench("render_full_fwd", t_render_full)
+bench("render_full_train_fwd", t_render_train)
 bench("loss_fwd", t_loss)
 bench("loss_grad", t_grad)
