@@ -80,6 +80,9 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
         # shading, so disable the budget on the vmapped dp path
         cfg = _dc.replace(cfg, surface=_dc.replace(cfg.surface,
                                                    interior_budget=None))
+    if getattr(cfg, "coarse_pallas", False):
+        # keep the vmapped dp path on plain XLA evaluators
+        cfg = _dc.replace(cfg, coarse_pallas=False)
     ps = cfg.patch_size
     H, W = images.shape[1:3]
     images = jnp.asarray(images, jnp.float32)

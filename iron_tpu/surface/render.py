@@ -73,13 +73,13 @@ class SurfaceRenderConfig:
 def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
                     mask: Optional[jnp.ndarray] = None,
                     cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
-                    coarse_sdf_fn=None) -> Dict:
+                    coarse_sdf_fn=None, coarse_march_fn=None) -> Dict:
     """Trace rays through pixel coords uv [..., 2] (raytracer.py:367-409)."""
     ray_o, ray_d, ray_d_norm = get_rays(cam, uv)
     mask_int, min_dis, max_dis = intersect_sphere(ray_o, ray_d, r=1.0)
     work = mask_int if mask is None else (mask_int & mask)
     res = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, cfg.tracer,
-                   coarse_sdf_fn=coarse_sdf_fn)
+                   coarse_sdf_fn=coarse_sdf_fn, coarse_march_fn=coarse_march_fn)
     res = jax.tree_util.tree_map(jax.lax.stop_gradient, res)
     res["depth"] = res["distance"] / ray_d_norm
     res.update({"uv": uv, "ray_o": ray_o, "ray_d": ray_d, "ray_d_norm": ray_d_norm})
@@ -183,7 +183,7 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                   cfg: SurfaceRenderConfig = SurfaceRenderConfig(),
                   is_training: bool = False, debug: bool = False,
                   trace_sdf_fn=None, trace_sdf_all_fn=None,
-                  coarse_sdf_fn=None) -> Dict:
+                  coarse_sdf_fn=None, coarse_march_fn=None) -> Dict:
     """Top-level surface render (raytracer.py:778-814), jittable.
 
     sdf_fn:     pts [..., 3] -> sdf [...]
@@ -201,7 +201,8 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
     H, W = cam.H, cam.W
     uv = pixel_grid(H, W)
     res = raytrace_pixels(trace_sdf_fn, cam, uv, cfg=cfg,
-                          coarse_sdf_fn=coarse_sdf_fn)
+                          coarse_sdf_fn=coarse_sdf_fn,
+                          coarse_march_fn=coarse_march_fn)
     res["depth"] = res["depth"] * res["convergent_mask"]
 
     if cfg.fill_holes:
@@ -310,7 +311,8 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         both_uv = jnp.concatenate([pos_uv, neg_uv], axis=0)
         kept2 = jnp.concatenate([kept, kept], axis=0)
         r2 = raytrace_pixels(trace_sdf_fn, cam, both_uv, mask=kept2,
-                             cfg=side_cfg, coarse_sdf_fn=coarse_sdf_fn)
+                             cfg=side_cfg, coarse_sdf_fn=coarse_sdf_fn,
+                             coarse_march_fn=coarse_march_fn)
         s2 = shade_masked(sdf_all_fn, shade_fn, r2["ray_o"], r2["ray_d"],
                           r2["points"], r2["convergent_mask"] & kept2,
                           is_training)

@@ -146,7 +146,8 @@ def _budgeted_trace(sdf_fn, ray_o, ray_d, max_dis, active, acc_dis, sdf_val,
 
 def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
                  cfg: TracerConfig = TracerConfig(),
-                 coarse_sdf_fn: Callable | None = None):
+                 coarse_sdf_fn: Callable | None = None,
+                 coarse_march_fn: Callable | None = None):
     """Two-phase masked sphere tracing (raytracer.py:105-140 semantics).
 
     With `coarse_sdf_fn` (a cheaper, lower-precision evaluator of the same
@@ -167,23 +168,30 @@ def sphere_trace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     def unfinished(mask, s, d):
         return mask & (jnp.abs(s) > cfg.sdf_threshold) & (d < max_dis)
 
-    if coarse_sdf_fn is not None:
-        # coarse march on the cheap evaluator: dense phase + budgeted
-        # stragglers (grazing rays would otherwise keep the full-tile
-        # while_loop alive for its whole iteration budget)
-        s_c = coarse_sdf_fn(pts)
-        active_c = work_mask & (jnp.abs(s_c) > cfg.coarse_threshold) & (acc_dis < max_dis)
+    if coarse_march_fn is not None or coarse_sdf_fn is not None:
         cd = min(cfg.coarse_dense_iters, cfg.sphere_tracing_iters)
         cs = min(cfg.coarse_straggler_iters,
                  max(cfg.sphere_tracing_iters - cd, 0))
         refine = min(cfg.refine_iters, max(cfg.sphere_tracing_iters - cd, 0))
-        active_c, acc_dis, s_c = _trace_loop(
-            coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
-            cd, cfg.coarse_threshold)
-        if cs > 0:
-            _, acc_dis, _ = _budgeted_trace(
+        if coarse_march_fn is not None:
+            # single-kernel march (kernels/fused_sdf.py): per-tile early
+            # exit subsumes the dense/straggler phase split and the budget —
+            # every ray gets the full iteration allowance
+            _, acc_dis, _ = coarse_march_fn(ray_o, ray_d, acc_dis, work_mask,
+                                            max_dis, cd + cs)
+        else:
+            # coarse march on the cheap evaluator: dense phase + budgeted
+            # stragglers (grazing rays would otherwise keep the full-tile
+            # while_loop alive for its whole iteration budget)
+            s_c = coarse_sdf_fn(pts)
+            active_c = work_mask & (jnp.abs(s_c) > cfg.coarse_threshold) & (acc_dis < max_dis)
+            active_c, acc_dis, s_c = _trace_loop(
                 coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
-                cs, cfg.coarse_threshold, cfg.fallback_budget)
+                cd, cfg.coarse_threshold)
+            if cs > 0:
+                _, acc_dis, _ = _budgeted_trace(
+                    coarse_sdf_fn, ray_o, ray_d, max_dis, active_c, acc_dis, s_c,
+                    cs, cfg.coarse_threshold, cfg.fallback_budget)
         # accurate re-evaluation + short full-tile polish
         sdf_val = sdf_fn(ray_o + ray_d * acc_dis[..., None])
         active = unfinished(work_mask, sdf_val, acc_dis)
@@ -334,7 +342,8 @@ def bisection(sdf_fn: Callable, f_low, f_high, d_low, d_high, ray_o, ray_d,
 
 def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
              cfg: TracerConfig = TracerConfig(),
-             coarse_sdf_fn: Callable | None = None) -> Dict[str, jnp.ndarray]:
+             coarse_sdf_fn: Callable | None = None,
+             coarse_march_fn: Callable | None = None) -> Dict[str, jnp.ndarray]:
     """Full root finder = sphere trace -> fallback sampler (raytracer.py:45-103).
 
     Returns dict with full-shape convergent_mask / points / sdf / distance.
@@ -345,7 +354,7 @@ def raytrace(sdf_fn: Callable, ray_o, ray_d, min_dis, max_dis, work_mask,
     """
     (convergent, unfinished, pts, sdf_val, acc_dis) = sphere_trace(
         sdf_fn, ray_o, ray_d, min_dis, max_dis, work_mask, cfg,
-        coarse_sdf_fn=coarse_sdf_fn)
+        coarse_sdf_fn=coarse_sdf_fn, coarse_march_fn=coarse_march_fn)
 
     # fallback interval: if overshoot (sdf > 0) search [acc, max];
     # if we jumped inside (sdf < 0) search [min, acc]  (raytracer.py:59-65)

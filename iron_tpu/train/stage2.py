@@ -72,6 +72,11 @@ class Stage2Config:
     # phase re-checks every ray at trace_precision, so this only affects
     # speed.  None disables the coarse phase.
     coarse_trace_precision: Optional[str] = "default"
+    # run the coarse evaluator through the fused bf16 Pallas kernel
+    # (kernels/fused_sdf.py): same error class as 'default' XLA precision,
+    # ~1.5x faster (weights + activations stay in VMEM).  Disabled on the
+    # vmapped dp path (dist/train.py) alongside the interior budget.
+    coarse_pallas: bool = True
     surface: SurfaceRenderConfig = field(default_factory=SurfaceRenderConfig)
     sdf: SDFConfig = field(default_factory=SDFConfig)
     save_freq: int = 1000
@@ -137,11 +142,21 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     trace_sdf_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     trace_sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
     coarse_sdf_fn = None
+    coarse_march_fn = None
     # matmul precision only differs in cost on TPU (CPU runs f32 regardless),
     # so the coarse march would just double the compiled program there
     if cfg.coarse_trace_precision is not None and _tpu_backend():
-        coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
-        coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
+        from iron_tpu.kernels.fused_sdf import (make_pallas_sdf_only_bf16_fn,
+                                                make_pallas_coarse_march_fn,
+                                                pallas_available)
+        if cfg.coarse_pallas and pallas_available():
+            coarse_sdf_fn = make_pallas_sdf_only_bf16_fn(params["sdf"], cfg.sdf)
+            coarse_march_fn = make_pallas_coarse_march_fn(
+                params["sdf"], cfg.sdf,
+                threshold=cfg.surface.tracer.coarse_threshold)
+        else:
+            coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
+            coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
     shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
         normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
@@ -149,7 +164,8 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
                         is_training=True, trace_sdf_fn=trace_sdf_fn,
                         trace_sdf_all_fn=trace_sdf_all_fn,
-                        coarse_sdf_fn=coarse_sdf_fn)
+                        coarse_sdf_fn=coarse_sdf_fn,
+                        coarse_march_fn=coarse_march_fn)
 
     color = res["color"]
     if cfg.gamma_pred:

@@ -27,3 +27,81 @@ def test_fused_sdf_arbitrary_leading_dims():
     assert out.shape == (7, 11, cfg.d_out)
     ref = np.asarray(sdf_apply(params, x, cfg))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_sdf_bf16_matches_lax_path():
+    """The bf16 coarse-trace kernel must stay inside the coarse error
+    budget (surface/tracer.py coarse_threshold=2e-2 assumes ~1e-2 bf16
+    SDF error) against the HIGHEST-precision reference path."""
+    from iron_tpu.fields.sdf import sdf_only
+    from iron_tpu.kernels.fused_sdf import make_pallas_sdf_only_bf16_fn
+
+    cfg = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg)
+    fn = make_pallas_sdf_only_bf16_fn(params, cfg, tile=128, interpret=True)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (777, 3),
+                           minval=-1.0, maxval=1.0)
+    ref = np.asarray(sdf_only(params, x, cfg))
+    out = np.asarray(fn(x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1.2e-2)
+
+
+def test_fused_sdf_bf16_leading_dims_and_scale():
+    from iron_tpu.fields.sdf import sdf_only
+    from iron_tpu.kernels.fused_sdf import make_pallas_sdf_only_bf16_fn
+
+    cfg = SDFConfig(scale=2.0)
+    params = init_sdf(jax.random.PRNGKey(5), cfg)
+    fn = make_pallas_sdf_only_bf16_fn(params, cfg, tile=128, interpret=True)
+    x = jax.random.uniform(jax.random.PRNGKey(6), (5, 9, 3),
+                           minval=-0.5, maxval=0.5)
+    out = fn(x)
+    assert out.shape == (5, 9)
+    ref = np.asarray(sdf_only(params, x, cfg))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1.2e-2)
+
+
+def test_pallas_coarse_march_raytrace_parity():
+    """raytrace with the single-kernel Pallas coarse march (interpret mode)
+    must reproduce the accurate-only trace on the geometric-init network
+    SDF: same convergent set, hit distances within tracer tolerance, every
+    accepted root on the accurate surface (mirrors
+    test_tracer.test_coarse_to_fine_trace_matches_accurate)."""
+    from iron_tpu.fields.sdf import sdf_only
+    from iron_tpu.kernels.fused_sdf import make_pallas_coarse_march_fn
+    from iron_tpu.surface.tracer import TracerConfig, raytrace
+
+    cfg = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg)
+    sdf_fn = lambda p: sdf_only(params, p, cfg)
+
+    n = 256
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ray_o = 2.5 * d
+    target = 0.2 * jax.random.normal(jax.random.PRNGKey(4), (n, 3))
+    ray_d = target - ray_o
+    ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    min_dis = jnp.full((n,), 0.5)
+    max_dis = jnp.full((n,), 4.5)
+    work = jnp.ones((n,), bool)
+
+    tc = TracerConfig()
+    march = make_pallas_coarse_march_fn(params, cfg,
+                                        threshold=tc.coarse_threshold,
+                                        tile=128, interpret=True)
+    ref = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, tc)
+    got = raytrace(sdf_fn, ray_o, ray_d, min_dis, max_dis, work, tc,
+                   coarse_march_fn=march)
+
+    ref_conv = np.asarray(ref["convergent_mask"])
+    got_conv = np.asarray(got["convergent_mask"])
+    assert ref_conv.sum() > 50
+    np.testing.assert_array_equal(got_conv, ref_conv)
+    both = ref_conv & got_conv
+    np.testing.assert_allclose(np.asarray(got["distance"])[both],
+                               np.asarray(ref["distance"])[both], atol=2e-3)
+    hit_sdf = np.asarray(sdf_fn(got["points"]))[got_conv]
+    assert np.abs(hit_sdf).max() <= tc.sdf_threshold * 1.01
