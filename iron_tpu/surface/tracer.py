@@ -45,7 +45,11 @@ class TracerConfig:
     max_bisection_iters: int = 24
     # Static cap on rays entering the dense fallback; the reference compacts
     # dynamically instead (raytracer.py:58-79).  None = full tile.
-    fallback_budget: int | None = 2048
+    # 1024 re-tuned with the in-kernel coarse march (40 masked iterations
+    # leave well under 1024 unfinished rays per 128^2 patch on learned SDFs;
+    # measured drop vs unlimited: 2/911 convergent pixels, bf16-class
+    # distance error — scripts/bench_sweep.py + budget-quality check).
+    fallback_budget: int | None = 1024
     # Two-phase tracing: run `dense_iters` sphere-trace steps on the full
     # tile, then gather the still-active rays (same budget) for the
     # remaining iterations.
@@ -66,7 +70,10 @@ class TracerConfig:
     # `coarse_dense_iters` full-tile steps, still-active rays gather into
     # the budget for `coarse_straggler_iters` more coarse steps.
     coarse_dense_iters: int = 12
-    coarse_straggler_iters: int = 16
+    # 28 (up from 16) with the in-kernel march: extra coarse iterations are
+    # nearly free under per-tile early exit and shrink the accurate
+    # straggler/fallback population.
+    coarse_straggler_iters: int = 28
     # When the dense fallback sweep runs on the coarse evaluator, the flip
     # is re-located with accurate evaluations over z_flip +- this margin
     # (must exceed the coarse evaluator's SDF error; bf16 error ~1e-2).

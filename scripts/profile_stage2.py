@@ -32,45 +32,63 @@ key = jax.random.PRNGKey(1)
 trace_cfg = dc.replace(cfg.sdf, precision=cfg.trace_precision)
 coarse_cfg = dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision or "default")
 
+from iron_tpu.kernels.fused_sdf import (make_pallas_sdf_only_bf16_fn,
+                                        make_pallas_coarse_march_fn,
+                                        pallas_available)
+USE_PALLAS = pallas_available()
+
 def fns(params):
     sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
     sdf_all = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
     t_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     t_all = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
-    c_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
+    if USE_PALLAS:
+        c_fn = make_pallas_sdf_only_bf16_fn(params["sdf"], cfg.sdf)
+        m_fn = make_pallas_coarse_march_fn(
+            params["sdf"], cfg.sdf,
+            threshold=cfg.surface.tracer.coarse_threshold)
+    else:
+        c_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
+        m_fn = None
     shade = lambda ro, rd, pts, nrm, ft: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ro, rd, pts, nrm, ft)
-    return sdf_fn, sdf_all, t_fn, t_all, c_fn, shade
+    return sdf_fn, sdf_all, t_fn, t_all, c_fn, shade, m_fn
 
 def t_trace(params):
-    s, _, t, _, c, _ = fns(params)
+    s, _, t, _, c, _, m = fns(params)
+    uv = pixel_grid(PATCH, PATCH)
+    return raytrace_pixels(t, cam, uv, cfg=cfg.surface, coarse_sdf_fn=c,
+                           coarse_march_fn=m)["distance"].sum()
+
+def t_trace_nomarch(params):
+    s, _, t, _, c, _, m = fns(params)
     uv = pixel_grid(PATCH, PATCH)
     return raytrace_pixels(t, cam, uv, cfg=cfg.surface,
                            coarse_sdf_fn=c)["distance"].sum()
 
 def t_trace_nocoarse(params):
-    s, _, t, _, _, _ = fns(params)
+    s, _, t, _, _, _, m = fns(params)
     uv = pixel_grid(PATCH, PATCH)
     return raytrace_pixels(t, cam, uv, cfg=cfg.surface)["distance"].sum()
 
 def t_render_noedge(params):
-    s, sa, t, ta, c, sh = fns(params)
+    s, sa, t, ta, c, sh, m = fns(params)
     c2 = dc.replace(cfg.surface, handle_edges=False)
     return render_camera(s, sa, sh, cam, c2, is_training=False,
                          trace_sdf_fn=t, trace_sdf_all_fn=ta,
-                         coarse_sdf_fn=c)["color"].sum()
+                         coarse_sdf_fn=c, coarse_march_fn=m)["color"].sum()
 
 def t_render_full(params):
-    s, sa, t, ta, c, sh = fns(params)
+    s, sa, t, ta, c, sh, m = fns(params)
     return render_camera(s, sa, sh, cam, cfg.surface, is_training=False,
                          trace_sdf_fn=t, trace_sdf_all_fn=ta,
-                         coarse_sdf_fn=c)["color"].sum()
+                         coarse_sdf_fn=c, coarse_march_fn=m)["color"].sum()
 
 def t_render_train(params):
-    s, sa, t, ta, c, sh = fns(params)
+    s, sa, t, ta, c, sh, m = fns(params)
     return render_camera(s, sa, sh, cam, cfg.surface, is_training=True,
                          trace_sdf_fn=t, trace_sdf_all_fn=ta,
-                         coarse_sdf_fn=c)["color"].sum()
+                         coarse_sdf_fn=c, coarse_march_fn=m)["color"].sum()
 
 def t_loss(params):
     return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)[0]
@@ -91,6 +109,7 @@ def bench(name, fn):
     print(json.dumps({"part": name, "ms": round(best*1e3, 2)}), flush=True)
 
 bench("trace_only_coarse", t_trace)
+bench("trace_only_nomarch", t_trace_nomarch)
 bench("trace_only_nocoarse", t_trace_nocoarse)
 bench("render_noedge_fwd", t_render_noedge)
 bench("render_full_fwd", t_render_full)
