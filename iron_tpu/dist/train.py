@@ -49,6 +49,11 @@ def make_dp_stage1_step(cfg: Stage1Config, tx, mesh: Mesh,
     (tp-sharded hidden dims optional)."""
     batch_sharding = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
+    if getattr(cfg, "upsample_pallas", False):
+        # pallas_call is not auto-partitionable under pjit; keep the dp
+        # path on plain XLA evaluators
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, upsample_pallas=False)
 
     def step_fn(params, opt_state, batch, step, key):
         from iron_tpu.train.schedules import cos_anneal_ratio
@@ -127,6 +132,9 @@ def make_dp_stage1_render(cfg: Stage1Config, mesh: Mesh) -> Callable:
     """
     from iron_tpu.train.stage1 import stage1_render_color_normal
 
+    if getattr(cfg, "upsample_pallas", False):
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, upsample_pallas=False)
     sh = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
     render = lambda params, rays_o, rays_d: stage1_render_color_normal(

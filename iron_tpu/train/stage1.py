@@ -63,6 +63,11 @@ class Stage1Config:
     # (renderer.py:389 runs them under no_grad); the differentiable
     # render_core pass stays at sdf.precision.
     upsample_precision: str = "high"
+    # run the importance-sampling sweeps through the fused bf16 Pallas
+    # kernel (kernels/fused_sdf.py) on TPU.  Affects sample *placement*
+    # only (bf16-class SDF error); render_core re-evaluates every sample at
+    # sdf.precision with gradients.  Disabled on the dp path (dist/train.py).
+    upsample_pallas: bool = False
     # occupancy-grid guided initial sampling (volume/occupancy.py); the grid
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
@@ -89,8 +94,13 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
                   key, cos_anneal, background_rgb=None, perturb_overwrite=-1.0,
                   init_z=None):
     import dataclasses as _dc
-    up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
-    sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
+    from iron_tpu.kernels.fused_sdf import (make_pallas_sdf_only_bf16_fn,
+                                            pallas_available)
+    if cfg.upsample_pallas and pallas_available():
+        sdf_fn = make_pallas_sdf_only_bf16_fn(params["sdf"], cfg.sdf)
+    else:
+        up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
+        sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
     sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
         params["color"], cfg.color, pts, grads, dirs, feat)

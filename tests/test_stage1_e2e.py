@@ -74,3 +74,33 @@ def test_stage1_step_runs_and_is_finite():
     assert np.isfinite(m["loss"])
     leaves = jax.tree_util.tree_leaves(tr.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_stage1_upsample_pallas_flag_gated_off_device():
+    """upsample_pallas=True must be a no-op off-TPU (pallas_available gates
+    it), so CPU runs produce identical renders with the flag on or off."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from iron_tpu.train.stage1 import (Stage1Config, init_stage1_params,
+                                       stage1_render)
+    from iron_tpu.fields.sdf import SDFConfig
+
+    from iron_tpu.volume.integrator import NeuSRenderConfig
+    cfg = Stage1Config(
+        render=NeuSRenderConfig(n_samples=8, n_importance=8,
+                                up_sample_steps=2, n_outside=0, perturb=0.0),
+    )
+    params = init_stage1_params(jax.random.PRNGKey(0), cfg)
+    rays_o = jnp.array([[0.0, 0.0, 2.0]] * 4)
+    rays_d = jnp.array([[0.0, 0.0, -1.0]] * 4)
+    near = jnp.full((4, 1), 1.0)
+    far = jnp.full((4, 1), 3.0)
+    out_off = stage1_render(params, cfg, rays_o, rays_d, near, far,
+                            None, 1.0, None, perturb_overwrite=0.0)
+    cfg_on = dc.replace(cfg, upsample_pallas=True)
+    out_on = stage1_render(params, cfg_on, rays_o, rays_d, near, far,
+                           None, 1.0, None, perturb_overwrite=0.0)
+    np.testing.assert_allclose(np.asarray(out_on["color_fine"]),
+                               np.asarray(out_off["color_fine"]), atol=1e-7)
