@@ -133,16 +133,21 @@ def _tpu_backend() -> bool:
         return False
 
 
-def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
-                gt_crop: jnp.ndarray, key) -> Tuple[jnp.ndarray, Dict]:
+def build_stage2_fns(params, mat_cfgs, cfg: Stage2Config) -> Dict:
+    """Evaluator closures for the surface pipeline: training-precision
+    sdf/sdf_all, cheaper trace-precision variants, the coarse (Pallas or
+    XLA-DEFAULT) evaluators, and the shade closure.  Shared by the training
+    loss and the full-image eval renders."""
     import dataclasses as _dc
-    sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
-    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    out = {
+        "sdf_fn": lambda p: sdf_only(params["sdf"], p, cfg.sdf),
+        "sdf_all_fn": lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf),
+        "coarse_sdf_fn": None,
+        "coarse_march_fn": None,
+    }
     trace_cfg = _dc.replace(cfg.sdf, precision=cfg.trace_precision)
-    trace_sdf_fn = lambda p: sdf_only(params["sdf"], p, trace_cfg)
-    trace_sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
-    coarse_sdf_fn = None
-    coarse_march_fn = None
+    out["trace_sdf_fn"] = lambda p: sdf_only(params["sdf"], p, trace_cfg)
+    out["trace_sdf_all_fn"] = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
     # matmul precision only differs in cost on TPU (CPU runs f32 regardless),
     # so the coarse march would just double the compiled program there
     if cfg.coarse_trace_precision is not None and _tpu_backend():
@@ -150,22 +155,30 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
                                                 make_pallas_coarse_march_fn,
                                                 pallas_available)
         if cfg.coarse_pallas and pallas_available():
-            coarse_sdf_fn = make_pallas_sdf_only_bf16_fn(params["sdf"], cfg.sdf)
-            coarse_march_fn = make_pallas_coarse_march_fn(
+            out["coarse_sdf_fn"] = make_pallas_sdf_only_bf16_fn(
+                params["sdf"], cfg.sdf)
+            out["coarse_march_fn"] = make_pallas_coarse_march_fn(
                 params["sdf"], cfg.sdf,
                 threshold=cfg.surface.tracer.coarse_threshold)
         else:
             coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
-            coarse_sdf_fn = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
-    shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
+            out["coarse_sdf_fn"] = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
+    out["shade_fn"] = lambda ray_o, ray_d, pts, normals, feats: shade_points(
         cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
         normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
+    return out
 
-    res = render_camera(sdf_fn, sdf_all_fn, shade_fn, cam, cfg.surface,
-                        is_training=True, trace_sdf_fn=trace_sdf_fn,
-                        trace_sdf_all_fn=trace_sdf_all_fn,
-                        coarse_sdf_fn=coarse_sdf_fn,
-                        coarse_march_fn=coarse_march_fn)
+
+def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
+                gt_crop: jnp.ndarray, key) -> Tuple[jnp.ndarray, Dict]:
+    f = build_stage2_fns(params, mat_cfgs, cfg)
+
+    res = render_camera(f["sdf_fn"], f["sdf_all_fn"], f["shade_fn"], cam,
+                        cfg.surface, is_training=True,
+                        trace_sdf_fn=f["trace_sdf_fn"],
+                        trace_sdf_all_fn=f["trace_sdf_all_fn"],
+                        coarse_sdf_fn=f["coarse_sdf_fn"],
+                        coarse_march_fn=f["coarse_march_fn"])
 
     color = res["color"]
     if cfg.gamma_pred:
@@ -372,14 +385,14 @@ class Stage2Trainer:
 
             @jax.jit
             def run(params, cam):
-                sdf_fn = lambda p: sdf_only(params["sdf"], p, cfg.sdf)
-                sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
-                shade_fn = lambda ray_o, ray_d, pts, normals, feats: shade_points(
-                    cfg.renderer_name, params["materials"], mat_cfgs,
-                    ray_o, ray_d, pts, normals, feats, is_metal=cfg.is_metal,
-                    use_env_light=cfg.use_env_light)
-                return render_camera(sdf_fn, sdf_all_fn, shade_fn, cam,
-                                     cfg.surface, is_training=is_training)
+                f = build_stage2_fns(params, mat_cfgs, cfg)
+                return render_camera(f["sdf_fn"], f["sdf_all_fn"],
+                                     f["shade_fn"], cam, cfg.surface,
+                                     is_training=is_training,
+                                     trace_sdf_fn=f["trace_sdf_fn"],
+                                     trace_sdf_all_fn=f["trace_sdf_all_fn"],
+                                     coarse_sdf_fn=f["coarse_sdf_fn"],
+                                     coarse_march_fn=f["coarse_march_fn"])
 
             self._render_full_cache[key] = run
         res = self._render_full_cache[key](self.params, cam)
