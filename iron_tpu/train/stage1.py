@@ -66,8 +66,14 @@ class Stage1Config:
     # run the importance-sampling sweeps through the fused bf16 Pallas
     # kernel (kernels/fused_sdf.py) on TPU.  Affects sample *placement*
     # only (bf16-class SDF error); render_core re-evaluates every sample at
-    # sdf.precision with gradients.  Disabled on the dp path (dist/train.py).
+    # core_precision with gradients.  Disabled on the dp path (dist/train.py).
     upsample_pallas: bool = False
+    # matmul precision of the differentiable SDF pass in render_core
+    # (forward + 2nd-order eikonal backward).  'high' (bf16x3, ~2e-4 SDF
+    # error) is already more accurate than the reference's A100 TF32
+    # matmuls (~1e-3) and ~1.5x faster than 'highest' on TPU; kept at
+    # 'highest' by default pending a reference-scale quality A/B.
+    core_precision: str = "highest"
     # occupancy-grid guided initial sampling (volume/occupancy.py); the grid
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
@@ -101,7 +107,8 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
     else:
         up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
         sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
-    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, cfg.sdf)
+    core_cfg = _dc.replace(cfg.sdf, precision=cfg.core_precision)
+    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, core_cfg)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
         params["color"], cfg.color, pts, grads, dirs, feat)
     nerf_fn = None

@@ -19,8 +19,9 @@ ITERS_QUALITY = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 data = render_synthetic_dataset("sphere", n_views=8, H=256, W=256, light=30.0)
 ds = RayDataset.from_arrays(data["images"], data["Ks"], data["W2Cs"])
 
-for flag in (False, True):
-    cfg = Stage1Config(upsample_pallas=flag, end_iter=ITERS_QUALITY + 1,
+for flag, core in ((False, "highest"), (True, "highest"), (True, "high")):
+    cfg = Stage1Config(upsample_pallas=flag, core_precision=core,
+                       end_iter=ITERS_QUALITY + 1,
                        warm_up_end=500, anneal_end=ITERS_QUALITY,
                        render=NeuSRenderConfig(n_samples=64, n_importance=64,
                                                up_sample_steps=4, n_outside=32))
@@ -34,7 +35,7 @@ for flag in (False, True):
     m = tr.run(num_iters=ITERS_QUALITY - ITERS_BENCH - 20)
     psnr = float(np.ravel(np.asarray(m["psnr"]))[-1]) if "psnr" in m else None
     loss = float(np.ravel(np.asarray(m["loss"]))[-1])
-    print(json.dumps({"upsample_pallas": flag,
+    print(json.dumps({"upsample_pallas": flag, "core_precision": core,
                       "it_per_s": round(ITERS_BENCH / dt, 2),
                       "final_loss": round(loss, 5),
                       "final_psnr": None if psnr is None else round(psnr, 3)}),
