@@ -60,6 +60,44 @@ def ring_cameras(n: int, radius: float = 3.0, H: int = 128, W: int = 128,
     return cams, np.stack(Ks), np.stack(W2Cs)
 
 
+def hemisphere_cameras(n: int, radius: float = 3.0, H: int = 128, W: int = 128,
+                       focal: float = 160.0, z_range=(-0.1, 0.92),
+                       pole: str = "z",
+                       seed: int = 0) -> Tuple[list, np.ndarray, np.ndarray]:
+    """n cameras on a Fibonacci spiral over the (mostly upper) view sphere.
+
+    The ring rig keeps every camera at one elevation, which cannot
+    determine the genus of a shape whose hole axis is never looked along (a
+    torus hole that no ray passes through is indistinguishable from a
+    blob).  Real captures (and the reference's DTU/photometric data) sample
+    a view sphere; this rig does the same.  `pole` picks the spiral's pole
+    axis — point it along the scene's hole/handle axis so the high-
+    elevation views look through it.
+    """
+    g = np.random.default_rng(seed)
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    perm = {"z": (0, 1, 2), "y": (0, 2, 1), "x": (2, 1, 0)}[pole]
+    Ks, W2Cs, cams = [], [], []
+    z_lo, z_hi = z_range
+    for i in range(n):
+        z = z_lo + (z_hi - z_lo) * (i + 0.5) / n + g.uniform(-0.02, 0.02)
+        z = float(np.clip(z, -0.99, 0.99))
+        rho = np.sqrt(max(1.0 - z * z, 1e-6))
+        theta = golden * i + g.uniform(-0.05, 0.05)
+        eye_pole = np.array([rho * np.cos(theta), rho * np.sin(theta), z])
+        eye = radius * eye_pole[list(perm)]
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = focal
+        K[0, 2], K[1, 2] = W / 2, H / 2
+        up_pole = np.array([0.0, 0.0, 1.0]) if abs(z) < 0.97 else np.array([0.0, 1.0, 0.0])
+        up = tuple(up_pole[list(perm)])
+        W2C = look_at_w2c(eye, np.zeros(3), up=up)
+        Ks.append(K)
+        W2Cs.append(W2C)
+        cams.append(make_camera(K, W2C, H, W))
+    return cams, np.stack(Ks), np.stack(W2Cs)
+
+
 # ---- analytic scenes ----
 
 def sphere_scene(radius: float = 0.5):
@@ -130,13 +168,19 @@ def make_ggx_shade_fn(light: float, diffuse_albedo=(0.6, 0.3, 0.2),
 
 def render_synthetic_dataset(scene: str = "sphere", n_views: int = 12,
                              H: int = 128, W: int = 128, light: float = 30.0,
+                             rig: str = "ring", rig_kwargs: Dict = None,
                              **scene_kwargs) -> Dict:
-    """Render a co-located-flash multiview dataset with GT geometry."""
+    """Render a co-located-flash multiview dataset with GT geometry.
+
+    rig: "ring" (single-elevation, default) or "hemisphere" (Fibonacci view
+    sphere — required to determine genus; for the torus pass
+    rig_kwargs={"pole": "y"} so views look along the hole axis)."""
     makers = {"sphere": sphere_scene, "blobby": blobby_scene,
               "torus": torus_scene}
     sdf_fn, sdf_all_fn = makers[scene](**scene_kwargs)
     shade_fn = make_ggx_shade_fn(light)
-    cams, Ks, W2Cs = ring_cameras(n_views, H=H, W=W)
+    rig_fn = {"ring": ring_cameras, "hemisphere": hemisphere_cameras}[rig]
+    cams, Ks, W2Cs = rig_fn(n_views, H=H, W=W, **(rig_kwargs or {}))
     cfg = SurfaceRenderConfig(edge_budget=1024)
 
     imgs, masks = [], []

@@ -30,6 +30,8 @@ def main():
     p.add_argument("--out_dir", default="./exp_e2e_validation")
     p.add_argument("--fast", action="store_true", help="tiny iteration counts")
     p.add_argument("--scene", default="blobby", choices=["sphere", "blobby", "torus"])
+    p.add_argument("--rig", default="ring", choices=["ring", "hemisphere"],
+                   help="camera rig; hemisphere is required for genus>0 scenes")
     p.add_argument("--stage1_iters", type=int, default=3000)
     p.add_argument("--stage2_iters", type=int, default=1500)
     p.add_argument("--res", type=int, default=128)
@@ -60,10 +62,19 @@ def main():
     # ---- golden data ----
     n_views = 14
     light_gt = 30.0
+    rig_kwargs = None
+    if args.rig == "hemisphere" and args.scene == "torus":
+        rig_kwargs = {"pole": "y"}   # torus hole axis (data/synthetic.py)
     data = render_synthetic_dataset(args.scene, n_views=n_views, H=args.res,
-                                    W=args.res, light=light_gt)
-    train_idx = list(range(0, n_views - 2))
-    test_idx = [n_views - 2, n_views - 1]
+                                    W=args.res, light=light_gt, rig=args.rig,
+                                    rig_kwargs=rig_kwargs)
+    if args.rig == "hemisphere":
+        # the Fibonacci spiral orders views by elevation — hold out two
+        # mid-sequence views so the test elevations are inside the train range
+        test_idx = [n_views // 3, (2 * n_views) // 3]
+    else:
+        test_idx = [n_views - 2, n_views - 1]
+    train_idx = [i for i in range(n_views) if i not in test_idx]
     ds = RayDataset.from_arrays(data["images"][train_idx], data["Ks"][train_idx],
                                 data["W2Cs"][train_idx],
                                 data["masks"][train_idx][..., :1])
