@@ -70,10 +70,10 @@ class Stage1Config:
     upsample_pallas: bool = False
     # matmul precision of the differentiable SDF pass in render_core
     # (forward + 2nd-order eikonal backward).  'high' (bf16x3, ~2e-4 SDF
-    # error) is already more accurate than the reference's A100 TF32
-    # matmuls (~1e-3) and ~1.5x faster than 'highest' on TPU; kept at
-    # 'highest' by default pending a reference-scale quality A/B.
-    core_precision: str = "highest"
+    # error) is tighter than the reference's A100 TF32 matmuls (~1e-3) and
+    # +8% stage-1 throughput over 'highest' on TPU at equal train PSNR
+    # (scripts/bench_stage1_upsample.py A/B, 3k-iter sphere).
+    core_precision: str = "high"
     # occupancy-grid guided initial sampling (volume/occupancy.py); the grid
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
