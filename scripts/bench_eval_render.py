@@ -16,7 +16,7 @@ RES = 512
 data = render_synthetic_dataset("blobby", n_views=2, H=RES, W=RES, light=30.0)
 cfg = Stage2Config(renderer_name="comp", patch_size=128,
                    surface=SurfaceRenderConfig(edge_budget=4096,
-                                               interior_budget=None))
+                                               interior_budget=131072))
 tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"])
 tr.run(num_iters=50)  # move off geometric init a bit
 
