@@ -155,3 +155,27 @@ def test_torus_scene_renders_with_hole():
         if len(on) > 4 and row[48] < 0.5 and on.min() < 48 < on.max():
             found_hole = True
     assert found_hole
+
+
+def test_hemisphere_camera_rig_geometry():
+    """hemisphere_cameras: eyes on the view sphere, origin projects to the
+    image center, pole axis selectable (torus hole axis is y)."""
+    import numpy as np
+    from iron_tpu.data.synthetic import hemisphere_cameras
+    from iron_tpu.core.camera import project
+    import jax.numpy as jnp
+
+    for pole, axis in (("z", 2), ("y", 1)):
+        cams, Ks, W2Cs = hemisphere_cameras(9, radius=3.0, H=64, W=64,
+                                            pole=pole)
+        eyes = np.stack([np.linalg.inv(w)[:3, 3] for w in W2Cs])
+        np.testing.assert_allclose(np.linalg.norm(eyes, axis=1), 3.0,
+                                   atol=1e-4)
+        # pole coordinate spans a real elevation range (not a ring)
+        span = eyes[:, axis].max() - eyes[:, axis].min()
+        assert span > 2.0, f"pole {pole}: span {span}"
+        # top view looks along the pole axis
+        assert abs(eyes[-1, axis]) > 2.4
+        for cam in cams:
+            uv = np.asarray(project(cam, jnp.zeros((1, 3))))
+            np.testing.assert_allclose(uv[0], [32.0, 32.0], atol=1e-2)
