@@ -365,10 +365,13 @@ class Stage2Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def render_full(self, img_idx: int, factor: float = 1.0,
-                    is_training: bool = False) -> Dict[str, np.ndarray]:
+                    is_training: bool = False,
+                    keys: Optional[Tuple[str, ...]] = None) -> Dict[str, np.ndarray]:
         """Full-frame render for validation / render_all.  The jitted render
         is cached per output resolution so render_all reuses one program for
-        every camera (the eval shapes are fixed per dataset, SURVEY §7.4.7)."""
+        every camera (the eval shapes are fixed per dataset, SURVEY §7.4.7).
+        `keys` limits which buffers are fetched to the host — on tunneled
+        devices the transfer of the full buffer dict dominates wall time."""
         from iron_tpu.core.camera import resize_camera
         K = np.asarray(self.Ks[img_idx])
         W2C = np.asarray(self.W2Cs[img_idx])
@@ -397,4 +400,5 @@ class Stage2Trainer:
             self._render_full_cache[key] = run
         res = self._render_full_cache[key](self.params, cam)
         return {k: np.asarray(v) for k, v in res.items()
-                if isinstance(v, jnp.ndarray)}
+                if isinstance(v, jnp.ndarray)
+                and (keys is None or k in keys)}
