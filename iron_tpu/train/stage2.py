@@ -67,6 +67,11 @@ class Stage2Config:
     # forwards stay at cfg.sdf.precision ('highest').  'high' (bf16x3) is
     # ~30% faster with ~2e-4 SDF error — well under a pixel footprint.
     trace_precision: str = "high"
+    # precision of the uniform-cube eikonal regularizer's 2nd-order graph;
+    # 'high' (~2e-4 gradient error vs the |∇f|=1 target) matches the
+    # reference's TF32-class matmuls.  Surface/edge eikonal terms ride the
+    # shading path and keep its precision.
+    eik_precision: str = "high"
     # precision for the coarse sphere-trace march (coarse-to-fine tracer);
     # 'default' = single-pass bf16, ~3x cheaper than 'high'.  The refine
     # phase re-checks every ray at trace_precision, so this only affects
@@ -195,10 +200,14 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     img_ssim = cfg.ssim_weight * ssim_loss(pred, gt, mask[None, None]) * any_mask
     img_loss = img_l2 + img_ssim
 
-    # eikonal from three sources (render_surface.py:580-607)
+    # eikonal from three sources (render_surface.py:580-607).  The uniform-
+    # cube term is a pure regularizer (|∇f|=1 to ~1e-3 is all that matters)
+    # — run its 2nd-order graph at the cheaper eik_precision.
+    import dataclasses as _dc2
     n_eik = (cam.H * cam.W) // 2
+    eik_cfg = _dc2.replace(cfg.sdf, precision=cfg.eik_precision)
     eik_pts = jax.random.uniform(key, (n_eik, 3), minval=-1.0, maxval=1.0)
-    e_sum, e_cnt = eikonal_loss(sdf_grad(params["sdf"], eik_pts, cfg.sdf))
+    e_sum, e_cnt = eikonal_loss(sdf_grad(params["sdf"], eik_pts, eik_cfg))
     s_sum, s_cnt = eikonal_loss(res["raw_grad"], mask)
     e_sum, e_cnt = e_sum + s_sum, e_cnt + s_cnt
     if cfg.surface.handle_edges:
