@@ -148,6 +148,13 @@ def main():
         lambda p: -sdf_only(s2.params["sdf"], p, s2_cfg.sdf), resolution=128)
     rec_verts, rec_tris = largest_component(rec_verts, rec_tris)
     report["chamfer"] = chamfer_distance(rec_verts, rec_tris, gt_verts, gt_tris)
+    # persist the recovered mesh + final params so failures are inspectable
+    # post-hoc (genus, hole membranes, ...)
+    from iron_tpu.export.mesh import write_obj
+    write_obj(os.path.join(args.out_dir, "recovered_mesh.obj"),
+              rec_verts, rec_tris)
+    from iron_tpu.train.checkpoints import save_checkpoint
+    save_checkpoint(args.out_dir, args.stage2_iters, s2.params)
     print(f"[geometry] chamfer {report['chamfer']:.5f} "
           f"({len(rec_verts)} verts)", flush=True)
 
