@@ -18,3 +18,14 @@ onto XLA/TPU (no boolean compaction); hot paths have Pallas kernels in
 """
 
 __version__ = "0.1.0"
+
+# Platform override for CLI/script runs: the container's sitecustomize
+# force-registers the TPU PJRT plugin and resets JAX_PLATFORMS, so the env
+# var alone cannot select CPU (tests/conftest.py works around it the same
+# way).  IRON_PLATFORM=cpu runs any iron_tpu entry point on host CPU.
+import os as _os
+
+if _os.environ.get("IRON_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["IRON_PLATFORM"])

@@ -48,13 +48,15 @@ def main(argv=None):
     p.add_argument("--use_mask", action="store_true")
     p.add_argument("--plot_image_name", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sync_ckpt", action="store_true",
+                   help="blocking pickle checkpoints instead of async orbax")
     args = p.parse_args(argv)
 
     from iron_tpu.data.dataset import load_image_folder
     from iron_tpu.data.io import write_image, to8b, gamma_correction
     from iron_tpu.surface.render import SurfaceRenderConfig
     from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer
-    from iron_tpu.train.checkpoints import load_checkpoint
+    from iron_tpu.train.checkpoints import load_any_checkpoint
     from iron_tpu.utils.logging import ExperimentDir, concatenate_result
 
     exp = ExperimentDir(args.out_dir, vars(args))
@@ -77,11 +79,12 @@ def main(argv=None):
         is_metal=args.is_metal, gamma_pred=args.gamma_pred,
         inv_gamma_gt=args.inv_gamma_gt,
         init_light_scale=args.init_light_scale,
+        async_ckpt=not args.sync_ckpt,
         surface=SurfaceRenderConfig(handle_edges=not args.no_edgesample))
 
     stage1_params = None
-    if args.neus_ckpt_fpath and os.path.isfile(args.neus_ckpt_fpath):
-        ck = load_checkpoint(args.neus_ckpt_fpath)
+    ck = load_any_checkpoint(args.neus_ckpt_fpath) if args.neus_ckpt_fpath else None
+    if ck is not None:
         stage1_params = ck["params"]
         sdf_conf = ck.get("extra", {}).get("sdf_config")
         if sdf_conf:  # adopt the stage-1 SDF architecture
@@ -142,6 +145,7 @@ def main(argv=None):
             idx = trainer.step % len(fpaths)
             write_image(exp.file(f"logim_{trainer.step}.png"), mosaic(idx))
     trainer.save()
+    trainer.wait_for_saves()
     if not args.skip_final_export:
         export_assets(trainer, exp.file(f"mesh_and_materials_{trainer.step}"),
                       resolution=args.export_res)

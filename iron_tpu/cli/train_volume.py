@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--init_ckpt_dir", default=None,
                    help="warm-start params from another experiment's latest "
                         "checkpoint (env<->flash handoff, model_volume.py:134-159)")
+    p.add_argument("--sync_ckpt", action="store_true",
+                   help="blocking pickle checkpoints instead of async orbax")
     args = p.parse_args(argv)
 
     from iron_tpu.config import load_config_file, stage1_config_from_dict
@@ -39,6 +41,9 @@ def main(argv=None):
 
     conf = load_config_file(args.conf, case=args.case)
     cfg = stage1_config_from_dict(conf)
+    if not args.sync_ckpt:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, async_ckpt=True)
     data_dir = args.data_dir or conf.get("dataset", {}).get("data_dir")
     folder = args.folder_name or conf.get("dataset", {}).get("folder_name", "image")
     out_dir = args.out_dir or conf.get("general", {}).get("base_exp_dir", "./exp")
@@ -85,6 +90,7 @@ def main(argv=None):
         write_image(exp.file(f"val_{trainer.step:07d}.png"),
                     concatenate_result([gt, out["color"], (out["normal"] + 1) / 2], 3))
     trainer.save()
+    trainer.wait_for_saves()
 
 
 if __name__ == "__main__":

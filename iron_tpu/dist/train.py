@@ -71,23 +71,17 @@ def make_dp_stage1_step(cfg: Stage1Config, tx, mesh: Mesh,
 
 def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
                         images, Ks, W2Cs) -> Callable:
-    """Data parallel over patch crops: each dp shard renders its own random
-    crop (one full surface-render pipeline per device), gradients are
-    averaged by the partitioner's all-reduce.
+    """Data parallel over patch crops via `jax.shard_map`: each dp shard
+    runs the EXACT single-device program (including the Pallas coarse-march
+    kernel and the interior-shading budget — pallas_call is not
+    auto-partitionable under pjit, but under shard_map each shard is
+    already a single-device program) on its own random crop; per-shard
+    gradients are pmean'd over `dp` and the (replicated) optimizer update
+    is applied identically everywhere.
 
     Returns jitted (params, opt_state, keys [D], img_idx [D], ul_col [D],
     ul_row [D]) -> (params, opt_state, metrics).
     """
-    import dataclasses as _dc
-    if cfg.surface.interior_budget is not None:
-        # under vmap the interior-budget lax.cond lowers to a select that
-        # evaluates BOTH branches per crop — strictly slower than full-tile
-        # shading, so disable the budget on the vmapped dp path
-        cfg = _dc.replace(cfg, surface=_dc.replace(cfg.surface,
-                                                   interior_budget=None))
-    if getattr(cfg, "coarse_pallas", False):
-        # keep the vmapped dp path on plain XLA evaluators
-        cfg = _dc.replace(cfg, coarse_pallas=False)
     ps = cfg.patch_size
     H, W = images.shape[1:3]
     images = jnp.asarray(images, jnp.float32)
@@ -103,21 +97,30 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
         gt = jax.lax.dynamic_slice(images[img_idx], (ul_row, ul_col, 0), (ps, ps, 3))
         return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)
 
-    def step_fn(params, opt_state, keys, img_idx, ul_col, ul_row):
-        def mean_loss(p):
-            losses, metrics = jax.vmap(
-                lambda k, i, c, r: one_crop_loss(p, k, i, c, r)
-            )(keys, img_idx, ul_col, ul_row)
-            return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+    def shard_body(params, keys, img_idx, ul_col, ul_row):
+        # local shapes: keys [1, 2], img_idx/ul_* [1]
+        (loss, metrics), grads = jax.value_and_grad(
+            one_crop_loss, has_aux=True)(params, keys[0], img_idx[0],
+                                         ul_col[0], ul_row[0])
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.lax.pmean(metrics, "dp")
+        return metrics, grads
 
-        (loss, metrics), grads = jax.value_and_grad(mean_loss, has_aux=True)(params)
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P(), P()), check_vma=False)
+
+    def step_fn(params, opt_state, keys, img_idx, ul_col, ul_row):
+        metrics, grads = sharded(params, keys, img_idx, ul_col, ul_row)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
     return jax.jit(step_fn,
-                   in_shardings=(None, None, sh, sh, sh, sh),
+                   in_shardings=(repl, repl, sh, sh, sh, sh),
                    donate_argnums=(0, 1))
 
 
@@ -160,27 +163,19 @@ def make_dp_stage2_render(cfg: Stage2Config, mat_cfgs, mesh: Mesh,
     D = mesh.shape["dp"]
     assert H % D == 0, f"image height {H} must divide dp={D}"
     band = H // D
-    sh = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
 
-    def render(params, K, W2C):
+    def shard_body(params, K, W2C):
+        # each shard renders its own horizontal band through the full
+        # single-device program (Pallas kernels included)
         base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
                       C2W=jnp.linalg.inv(W2C), H=H, W=W)
-        # the band axis carries the dp sharding — without this constraint
-        # GSPMD has no sharded operand to propagate from and every device
-        # would render all D bands replicated
-        rows = jax.lax.with_sharding_constraint(
-            jnp.arange(D, dtype=jnp.int32) * band, sh)
+        row0 = jax.lax.axis_index("dp") * band
+        cam = crop_camera(base, 0, row0, W, band)
+        return stage2_render_buffers(params, mat_cfgs, cfg, cam)
 
-        def one_band(row0):
-            cam = crop_camera(base, 0, row0, W, band)
-            return stage2_render_buffers(params, mat_cfgs, cfg, cam)
-
-        out = jax.vmap(one_band)(rows)          # [D, band, W, ...], dp on axis 0
-        out = jax.lax.with_sharding_constraint(
-            out, jax.tree_util.tree_map(lambda _: sh, out))
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((H,) + x.shape[2:]), out)
-
-    return jax.jit(render, in_shardings=(None, repl, repl),
+    render = jax.shard_map(shard_body, mesh=mesh,
+                           in_specs=(P(), P(), P()),
+                           out_specs=P("dp"), check_vma=False)
+    return jax.jit(render, in_shardings=(repl, repl, repl),
                    out_shardings=repl)

@@ -67,10 +67,21 @@ class AsyncCheckpointer:
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
-    def save(self, step: int, params: Any, extra: Optional[Dict] = None) -> str:
+    def save(self, step: int, params: Any, opt_state: Any = None,
+             extra: Optional[Dict] = None) -> str:
+        """Kick off a background save of the array pytrees; `extra`
+        (config dicts / non-array metadata) is written synchronously as a
+        side JSON — it is tiny and orbax's array handler does not take it."""
+        import json
         path = os.path.join(self.root, f"{step:07d}")
-        payload = {"params": params, "extra": extra or {"step": step}}
+        if os.path.exists(path):  # idempotent re-save at the same step
+            return path
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
         self._ckptr.save(path, args=self._args(payload))
+        with open(path + ".extra.json", "w") as f:
+            json.dump({"step": int(step), **(extra or {})}, f)
         return path
 
     def _args(self, payload):
@@ -81,11 +92,18 @@ class AsyncCheckpointer:
         self._ckptr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         steps = [int(p) for p in os.listdir(self.root)
                  if p.isdigit() and os.path.isdir(os.path.join(self.root, p))]
         return max(steps) if steps else None
 
-    def restore(self, step: Optional[int] = None) -> Optional[Dict]:
+    def restore(self, step: Optional[int] = None,
+                target: Any = None) -> Optional[Dict]:
+        """Restore {params[, opt_state], step, extra}.  Pass `target` (a
+        pytree of the same structure, e.g. freshly-initialized params /
+        opt_state) to get back the original container types — without it
+        orbax returns plain nested dicts."""
+        import json
         import orbax.checkpoint as ocp
         if step is None:
             step = self.latest_step()
@@ -94,11 +112,47 @@ class AsyncCheckpointer:
         self.wait()
         path = os.path.join(self.root, f"{step:07d}")
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path)
+        out = ckptr.restore(path, target)
+        extra = {}
+        if os.path.exists(path + ".extra.json"):
+            with open(path + ".extra.json") as f:
+                extra = json.load(f)
+        return {"params": out["params"],
+                "opt_state": out.get("opt_state"),
+                "step": int(extra.get("step", step)), "extra": extra}
 
     def close(self):
         self.wait()
         self._ckptr.close()
+
+
+def load_any_checkpoint(path: str) -> Optional[Dict]:
+    """Load a checkpoint from a pickle file, an orbax step directory, or an
+    experiment directory holding either (newest step wins).  Lets stage-2's
+    --neus_ckpt_fpath accept stage-1 runs that used async checkpointing."""
+    if os.path.isfile(path):
+        return load_checkpoint(path)
+    if not os.path.isdir(path):
+        return None
+    base = os.path.basename(os.path.normpath(path))
+    if base.isdigit() and os.path.basename(os.path.dirname(
+            os.path.normpath(path))) == "orbax":
+        ck = AsyncCheckpointer(os.path.dirname(os.path.dirname(
+            os.path.normpath(path))))
+        return ck.restore(step=int(base))
+    pkl = latest_checkpoint(path)
+    pkl_step = -1
+    if pkl:
+        pkl_step = int(re.search(r"ckpt_(\d+)\.pkl", pkl).group(1))
+    orbax_step = -1
+    if os.path.isdir(os.path.join(path, "orbax")):
+        ck = AsyncCheckpointer(path)
+        orbax_step = ck.latest_step() if ck.latest_step() is not None else -1
+    if orbax_step < 0 and pkl_step < 0:
+        return None
+    if orbax_step >= pkl_step:
+        return AsyncCheckpointer(path).restore(step=orbax_step)
+    return load_checkpoint(pkl)
 
 
 def stage1_to_stage2(stage1_params: Dict, stage2_params: Dict,

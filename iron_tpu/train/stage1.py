@@ -78,6 +78,11 @@ class Stage1Config:
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
     occupancy_update_every: int = 256
+    # non-blocking orbax checkpointing (SURVEY §5): saves run in a
+    # background thread so the step loop never stalls on serialization.
+    # The CLI turns this on for real runs; pickle remains the default for
+    # tests and tooling that read ckpt_*.pkl directly.
+    async_ckpt: bool = False
     sdf: SDFConfig = field(default_factory=SDFConfig)
     nerf: NeRFConfig = field(default_factory=NeRFConfig)
     color: RenderingConfig = STAGE1_COLOR
@@ -220,11 +225,23 @@ class Stage1Trainer:
                                     static_argnums=(4,))
         self._occ_grid = None
 
+    def _async(self):
+        if not hasattr(self, "_async_ckptr"):
+            from iron_tpu.train.checkpoints import AsyncCheckpointer
+            self._async_ckptr = AsyncCheckpointer(self.out_dir)
+        return self._async_ckptr
+
     def resume(self) -> int:
         if self.out_dir:
-            path = latest_checkpoint(self.out_dir)
-            if path:
-                ck = load_checkpoint(path)
+            ck = None
+            if self.cfg.async_ckpt:
+                ck = self._async().restore(
+                    target={"params": self.params, "opt_state": self.opt_state})
+            if ck is None:
+                path = latest_checkpoint(self.out_dir)
+                if path:
+                    ck = load_checkpoint(path)
+            if ck is not None:
                 self.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
                 if ck["opt_state"] is not None:
                     self.opt_state = jax.tree_util.tree_map(jnp.asarray, ck["opt_state"])
@@ -239,8 +256,17 @@ class Stage1Trainer:
             # nets, ckpt_loader.py:49-66; we make the handoff explicit)
             extra = {"sdf_config": dataclasses.asdict(self.cfg.sdf),
                      "color_config": dataclasses.asdict(self.cfg.color)}
-            save_checkpoint(self.out_dir, self.step, self.params,
-                            self.opt_state, extra=extra)
+            if self.cfg.async_ckpt:
+                self._async().save(self.step, self.params, self.opt_state,
+                                   extra=extra)
+            else:
+                save_checkpoint(self.out_dir, self.step, self.params,
+                                self.opt_state, extra=extra)
+
+    def wait_for_saves(self):
+        """Join any in-flight async checkpoint (call once at shutdown)."""
+        if hasattr(self, "_async_ckptr"):
+            self._async_ckptr.wait()
 
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
             seed: int = 0, steps_per_call: int = 16) -> Dict:

@@ -86,6 +86,8 @@ class Stage2Config:
     sdf: SDFConfig = field(default_factory=SDFConfig)
     save_freq: int = 1000
     val_freq: int = 100
+    # non-blocking orbax checkpointing (see Stage1Config.async_ckpt)
+    async_ckpt: bool = False
 
 
 def init_stage2_params(key, cfg: Stage2Config):
@@ -334,18 +336,37 @@ class Stage2Trainer:
         self._train_steps = jax.jit(train_steps, donate_argnums=(0, 1),
                                     static_argnums=(3,))
 
+    def _async(self):
+        if not hasattr(self, "_async_ckptr"):
+            from iron_tpu.train.checkpoints import AsyncCheckpointer
+            self._async_ckptr = AsyncCheckpointer(self.out_dir)
+        return self._async_ckptr
+
     def resume(self) -> int:
         if self.out_dir:
-            path = latest_checkpoint(self.out_dir)
-            if path:
-                ck = load_checkpoint(path)
+            ck = None
+            if self.cfg.async_ckpt:
+                ck = self._async().restore(target={"params": self.params})
+            if ck is None:
+                path = latest_checkpoint(self.out_dir)
+                if path:
+                    ck = load_checkpoint(path)
+            if ck is not None:
                 self.params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
                 self.step = ck["step"]
         return self.step
 
     def save(self):
         if self.out_dir:
-            save_checkpoint(self.out_dir, self.step, self.params)
+            # stage-2 schema drops optimizer state (render_surface.py:669-671)
+            if self.cfg.async_ckpt:
+                self._async().save(self.step, self.params)
+            else:
+                save_checkpoint(self.out_dir, self.step, self.params)
+
+    def wait_for_saves(self):
+        if hasattr(self, "_async_ckptr"):
+            self._async_ckptr.wait()
 
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
             seed: int = 0, steps_per_call: int = 8) -> Dict:

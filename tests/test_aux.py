@@ -132,3 +132,52 @@ def test_async_checkpointer_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["params"]["w"], tree["w"])
     assert out["extra"]["step"] == 20
     ck.close()
+
+
+def test_stage2_trainer_async_ckpt_resume(tmp_path):
+    """Async orbax checkpointing wired into the trainer: save without
+    blocking, then a fresh trainer resumes params + step from the orbax
+    dir (SURVEY §5 checkpoint/resume; VERDICT r2 item 9)."""
+    import jax
+    from iron_tpu.data.synthetic import render_synthetic_dataset
+    from iron_tpu.train.stage2 import Stage2Config, Stage2Trainer
+    from iron_tpu.surface.render import SurfaceRenderConfig
+    from iron_tpu.surface.tracer import TracerConfig
+
+    data = render_synthetic_dataset("sphere", n_views=2, H=40, W=40)
+    cfg = Stage2Config(renderer_name="ggx", patch_size=24, async_ckpt=True,
+                       surface=SurfaceRenderConfig(
+                           edge_budget=64,
+                           tracer=TracerConfig(fallback_budget=64)))
+    tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"],
+                       out_dir=str(tmp_path))
+    tr.run(num_iters=2)
+    tr.save()
+    tr.wait_for_saves()
+
+    tr2 = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"],
+                        out_dir=str(tmp_path))
+    assert tr2.resume() == 2
+    a = jax.tree_util.tree_leaves(tr.params)
+    b = jax.tree_util.tree_leaves(tr2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_any_checkpoint(tmp_path):
+    """load_any_checkpoint resolves pickle files, orbax dirs, and mixed
+    experiment dirs (newest step wins)."""
+    from iron_tpu.train.checkpoints import (AsyncCheckpointer,
+                                            load_any_checkpoint,
+                                            save_checkpoint)
+    tree = {"w": np.ones(3, np.float32)}
+    pkl = save_checkpoint(str(tmp_path), 5, tree)
+    assert load_any_checkpoint(pkl)["step"] == 5
+    assert load_any_checkpoint(str(tmp_path))["step"] == 5
+    ck = AsyncCheckpointer(str(tmp_path))
+    ck.save(9, {"w": 2 * np.ones(3, np.float32)})
+    ck.close()
+    out = load_any_checkpoint(str(tmp_path))
+    assert out["step"] == 9
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  2 * np.ones(3, np.float32))

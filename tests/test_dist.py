@@ -118,6 +118,60 @@ def test_dp_stage2_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_dp_stage2_step_matches_single_device():
+    """shard_map dp step == single-device step when every shard gets the
+    same crop (pmean of identical grads is the identity): the multi-chip
+    path must not change the program semantics (VERDICT r2 item 2)."""
+    _need_devices(8)
+    mesh = make_mesh(dp=8, tp=1)
+    data = render_synthetic_dataset("sphere", n_views=2, H=48, W=48, light=30.0)
+    from iron_tpu.surface.tracer import TracerConfig
+    from iron_tpu.train.stage2 import stage2_loss
+    from iron_tpu.core.camera import Camera, crop_camera
+    cfg = Stage2Config(renderer_name="ggx", patch_size=16,
+                       surface=SurfaceRenderConfig(
+                           edge_budget=64, edge_side_fallback_budget=16,
+                           interior_budget=128,
+                           tracer=TracerConfig(sphere_tracing_iters=16,
+                                               dense_iters=8,
+                                               fallback_budget=64)))
+    params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    params["materials"]["point_light_network"]["light"] = jnp.asarray(
+        init_light_from_cameras(data["W2Cs"]), jnp.float32)
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    # single-device reference step on one fixed crop
+    key = jax.random.PRNGKey(7)
+    img_idx, ul_col, ul_row = 1, 5, 9
+    images = jnp.asarray(data["images"], jnp.float32)
+    K = jnp.asarray(data["Ks"][img_idx], jnp.float32)
+    W2C = jnp.asarray(data["W2Cs"][img_idx], jnp.float32)
+    base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
+                  C2W=jnp.linalg.inv(W2C), H=48, W=48)
+    cam = crop_camera(base, ul_col, ul_row, 16, 16)
+    gt = jax.lax.dynamic_slice(images[img_idx], (ul_row, ul_col, 0), (16, 16, 3))
+    (_, _), grads = jax.value_and_grad(stage2_loss, has_aux=True)(
+        params, mat_cfgs, cfg, cam, gt, key)
+    updates, _ = tx.update(grads, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    # dp step: all 8 shards get the SAME crop
+    step = make_dp_stage2_step(cfg, mat_cfgs, tx, mesh,
+                               data["images"], data["Ks"], data["W2Cs"])
+    D = 8
+    keys = jnp.tile(key[None], (D, 1))
+    p, o, m = step(replicate(params, mesh), replicate(opt_state, mesh),
+                   shard_batch(keys, mesh),
+                   shard_batch(jnp.full((D,), img_idx, jnp.int32), mesh),
+                   shard_batch(jnp.full((D,), ul_col, jnp.int32), mesh),
+                   shard_batch(jnp.full((D,), ul_row, jnp.int32), mesh))
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_dp_stage1_render_matches_single_device():
     """Sharded full-image render == the chunked single-device render."""
     _need_devices(8)

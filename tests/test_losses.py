@@ -66,6 +66,42 @@ def test_ssim_parity_unmasked():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
 
 
+@need_ref
+def test_ssim_parity_masked():
+    """Masked SSIM vs the reference (image_losses.py:97-158) with a
+    non-trivial mask.  The reference's mask erosion goes through kornia
+    (stubbed at import); kornia.morphology.erosion with a ones(k,k)
+    structuring element and the default 'geodesic' border is a min-pool
+    padded with a large value — provided here as a faithful torch shim so
+    the reference path runs unmodified."""
+    from oracle import import_reference
+    import_reference()
+    import sys
+    import torch
+    import torch.nn.functional as F
+    from models.image_losses import ssim_loss_fn
+
+    def erosion(mask, kernel):
+        k = kernel.shape[-1]
+        pad = k // 2
+        x = F.pad(mask, (pad, pad, pad, pad), mode="constant", value=1e4)
+        return -F.max_pool2d(-x, kernel_size=k, stride=1)
+
+    sys.modules["kornia"].morphology = sys.modules["kornia.morphology"]
+    sys.modules["kornia.morphology"].erosion = erosion
+
+    g = np.random.default_rng(3)
+    a = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    b = g.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    mask = np.zeros((1, 1, 64, 64), bool)
+    mask[:, :, 10:50, 18:60] = True
+    mask[:, :, 30:34, :] = False  # punch a hole so erosion is non-trivial
+    ref = float(ssim_loss_fn(torch.from_numpy(a), torch.from_numpy(b),
+                             mask=torch.from_numpy(mask)))
+    ours = float(ssim_loss(jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_eikonal_loss_unit_gradients():
     g = np.random.default_rng(0).normal(size=(32, 3))
     g /= np.linalg.norm(g, axis=-1, keepdims=True)
