@@ -31,6 +31,8 @@ def main(argv=None):
                         "checkpoint (env<->flash handoff, model_volume.py:134-159)")
     p.add_argument("--sync_ckpt", action="store_true",
                    help="blocking pickle checkpoints instead of async orbax")
+    p.add_argument("--per_host_shard", action="store_true",
+                   help="multi-host: each process loads only its image shard")
     args = p.parse_args(argv)
 
     from iron_tpu.config import load_config_file, stage1_config_from_dict
@@ -49,7 +51,8 @@ def main(argv=None):
     out_dir = args.out_dir or conf.get("general", {}).get("base_exp_dir", "./exp")
 
     exp = ExperimentDir(out_dir, vars(args))
-    ds = RayDataset.from_folder(data_dir, folder_name=folder)
+    ds = RayDataset.from_folder(data_dir, folder_name=folder,
+                            per_host_shard=args.per_host_shard)
     trainer = Stage1Trainer(cfg, ds, out_dir=out_dir)
     start = trainer.resume()
     if start == 0 and args.init_ckpt_dir:

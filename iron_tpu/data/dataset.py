@@ -42,9 +42,14 @@ def near_far_from_sphere(rays_o: jnp.ndarray, rays_d: jnp.ndarray):
 def load_image_folder(data_dir: str, folder_name: str = "image",
                       cam_dict_name: str = "cam_dict_norm.json",
                       mask_dir: Optional[str] = None,
-                      apply_mask: bool = False):
+                      apply_mask: bool = False,
+                      shard: Optional[Tuple[int, int]] = None):
     """Load (fpaths, images [N,H,W,3], Ks [N,4,4], W2Cs [N,4,4], masks) from
-    an image folder + cam dict (dataset.py:1139-1223 semantics)."""
+    an image folder + cam dict (dataset.py:1139-1223 semantics).
+
+    `shard=(index, count)` keeps only files i % count == index, selected
+    BEFORE any pixel is read — per-host sharding never materializes the
+    full stack on any process (SURVEY §2.5)."""
     cam_path = os.path.join(data_dir, cam_dict_name)
     if not os.path.isfile(cam_path):
         cam_path = os.path.join(os.path.dirname(data_dir), cam_dict_name)
@@ -54,6 +59,9 @@ def load_image_folder(data_dir: str, folder_name: str = "image",
     for ext in ("png", "jpg", "jpeg", "exr"):
         fpaths += glob.glob(os.path.join(data_dir, folder_name, f"*.{ext}"))
     fpaths = sorted(fpaths)
+    if shard is not None:
+        idx, count = shard
+        fpaths = fpaths[idx::count]
 
     images, Ks, W2Cs, masks, kept = [], [], [], [], []
     for fp in fpaths:
@@ -92,9 +100,19 @@ class RayDataset:
     @classmethod
     def from_folder(cls, data_dir: str, folder_name: str = "image",
                     cam_dict_name: str = "cam_dict_norm.json",
-                    mask_dir: Optional[str] = None) -> "RayDataset":
+                    mask_dir: Optional[str] = None,
+                    per_host_shard: bool = False) -> "RayDataset":
+        """With per_host_shard, each process keeps only images
+        i % process_count == process_index (SURVEY §2.5 "per-host image
+        shards"): in a multi-host run every host loads, stores, and
+        samples rays from its own subset — the gradient psum averages
+        across hosts, so this is plain data parallelism over views.
+        Host memory AND work scale as N/process_count."""
+        shard = None
+        if per_host_shard and jax.process_count() > 1:
+            shard = (jax.process_index(), jax.process_count())
         fpaths, imgs, Ks, W2Cs, masks = load_image_folder(
-            data_dir, folder_name, cam_dict_name, mask_dir)
+            data_dir, folder_name, cam_dict_name, mask_dir, shard=shard)
         return cls.from_arrays(imgs, Ks, W2Cs, masks[..., :1], fpaths)
 
     @classmethod

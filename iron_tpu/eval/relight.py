@@ -32,11 +32,9 @@ def _sample_atlas(atlas: np.ndarray, uv: np.ndarray) -> np.ndarray:
     return atlas[row, col]
 
 
-def render_mesh_flash(mesh_path: str, material_dir: str, cam: Camera,
-                      light: float,
-                      light_pos: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
-    """Render the exported mesh under a point light (co-located with the
-    camera when light_pos is None; novel position = true relighting)."""
+def _trace_and_materials(mesh_path: str, material_dir: str, cam: Camera):
+    """Shared first-hit pass: primary intersection, viewer-oriented
+    geometric normals, and texture-atlas material lookups."""
     verts, tris, uvs, tri_uvs = read_obj(mesh_path)
     diffuse_map = read_image(os.path.join(material_dir, "diffuse_albedo.png"))
     specular_map = read_image(os.path.join(material_dir, "specular_albedo.png"))
@@ -77,14 +75,13 @@ def render_mesh_flash(mesh_path: str, material_dir: str, cam: Camera,
         specular = np.full_like(pts, 0.2)
         rough = np.full((len(pts), 1), 0.3, np.float32)
 
-    lp = np.asarray(np.asarray(cam.C2W)[:3, 3] if light_pos is None else light_pos,
-                    np.float32)
-    wi = lp[None] - pts
-    dist = np.linalg.norm(wi, axis=-1, keepdims=True)
-    wi = wi / (dist + 1e-12)
-    wo = -rd
+    return {"verts": verts, "tris": tris, "ro": ro, "rd": rd, "t": t,
+            "hit": hit, "pts": pts, "normal": n,
+            "diffuse": diffuse, "specular": specular, "rough": rough}
 
-    # general (non-colocated) GGX roughplastic-style shading
+
+def _ggx_roughplastic_np(wi, wo, n, diffuse, specular, rough):
+    """General (non-colocated) GGX roughplastic BRDF x cos_i, numpy."""
     cos_i = np.clip(np.sum(n * wi, axis=-1, keepdims=True), 1e-5, 1 - 1e-5)
     cos_o = np.clip(np.sum(n * wo, axis=-1, keepdims=True), 1e-5, 1 - 1e-5)
     h = wi + wo
@@ -97,15 +94,138 @@ def render_mesh_flash(mesh_path: str, material_dir: str, cam: Camera,
                    * smith_g1(jnp.asarray(cos_o), jnp.asarray(alpha)))
     F = np.asarray(fresnel_dielectric(jnp.asarray(
         np.clip(np.sum(h * wi, axis=-1, keepdims=True), 1e-5, 1 - 1e-5)), 1.48958738))
+    spec = specular * F * D * G / (4.0 * cos_o + 1e-10)
+    diff = diffuse / np.pi * cos_i
+    return diff, spec
+
+
+def render_mesh_flash(mesh_path: str, material_dir: str, cam: Camera,
+                      light: float,
+                      light_pos: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+    """Render the exported mesh under a point light (co-located with the
+    camera when light_pos is None; novel position = true relighting)."""
+    tr = _trace_and_materials(mesh_path, material_dir, cam)
+    pts, n, hit = tr["pts"], tr["normal"], tr["hit"]
+
+    lp = np.asarray(np.asarray(cam.C2W)[:3, 3] if light_pos is None else light_pos,
+                    np.float32)
+    wi = lp[None] - pts
+    dist = np.linalg.norm(wi, axis=-1, keepdims=True)
+    wi = wi / (dist + 1e-12)
+    wo = -tr["rd"]
+
+    diff, spec = _ggx_roughplastic_np(wi, wo, n, tr["diffuse"], tr["specular"],
+                                      tr["rough"])
     li = light / (dist * dist + 1e-10)
-    spec = li * specular * F * D * G / (4.0 * cos_o + 1e-10)
-    diff = li * diffuse / np.pi * cos_i
-    color = np.where(hit[:, None], diff + spec, 0.0)
+    color = np.where(hit[:, None], li * (diff + spec), 0.0)
 
     H, W = cam.H, cam.W
     return {
         "color": color.reshape(H, W, 3).astype(np.float32),
-        "depth": np.where(hit, t, 0.0).reshape(H, W),
+        "depth": np.where(hit, tr["t"], 0.0).reshape(H, W),
+        "mask": hit.reshape(H, W),
+        "normal": np.where(hit[:, None], n, 0.0).reshape(H, W, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# environment-map relighting (test_mitsuba/render_rgb_envmap_mat.py analogue)
+# ---------------------------------------------------------------------------
+
+def make_uniform_envmap(radiance=(1.0, 1.0, 1.0), H: int = 16,
+                        W: int = 32) -> np.ndarray:
+    return np.broadcast_to(np.asarray(radiance, np.float32),
+                           (H, W, 3)).copy()
+
+
+def make_gradient_envmap(top=(1.0, 1.0, 1.2), bottom=(0.1, 0.1, 0.08),
+                         H: int = 16, W: int = 32) -> np.ndarray:
+    """Simple sky-to-ground gradient (z-up): a smooth directional envmap."""
+    t = np.linspace(0.0, 1.0, H, dtype=np.float32)[:, None, None]
+    return ((1 - t) * np.asarray(top, np.float32)
+            + t * np.asarray(bottom, np.float32)) * np.ones((H, W, 3), np.float32)
+
+
+def envmap_lookup(envmap: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    """Equirectangular lookup, z-up: row <- theta = arccos(d_z),
+    col <- phi = atan2(d_y, d_x)."""
+    He, We = envmap.shape[:2]
+    theta = np.arccos(np.clip(dirs[..., 2], -1.0, 1.0))
+    phi = np.arctan2(dirs[..., 1], dirs[..., 0])
+    row = np.clip((theta / np.pi * He).astype(np.int64), 0, He - 1)
+    col = np.clip(((phi + np.pi) / (2 * np.pi) * We).astype(np.int64), 0, We - 1)
+    return envmap[row, col]
+
+
+def sphere_dirs_weights(n_theta: int = 16, n_phi: int = 32):
+    """Fixed latitude-longitude quadrature over the full sphere:
+    directions [M, 3] and solid-angle weights [M] (sum = 4 pi)."""
+    th = (np.arange(n_theta) + 0.5) / n_theta * np.pi
+    ph = (np.arange(n_phi) + 0.5) / n_phi * 2 * np.pi - np.pi
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    dirs = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                     np.cos(T)], axis=-1).reshape(-1, 3)
+    w = (np.sin(T) * (np.pi / n_theta) * (2 * np.pi / n_phi)).reshape(-1)
+    return dirs.astype(np.float32), w.astype(np.float32)
+
+
+def render_mesh_envmap(mesh_path: str, material_dir: str, cam: Camera,
+                       envmap: np.ndarray, n_theta: int = 16,
+                       n_phi: int = 32, shadow_eps: float = 2e-3,
+                       with_shadows: bool = True) -> Dict[str, np.ndarray]:
+    """Render the exported mesh under an environment map
+    (`test_mitsuba/render_rgb_envmap_mat.py` equivalent): for every first
+    hit, integrate Li * brdf * cos over a lat-long direction quadrature,
+    with BVH shadow rays for visibility.  Pure numpy + native BVH —
+    independent of the framework's compute path."""
+    tr = _trace_and_materials(mesh_path, material_dir, cam)
+    pts, n, hit = tr["pts"], tr["normal"], tr["hit"]
+    wo = -tr["rd"]
+    N = pts.shape[0]
+
+    dirs, w = sphere_dirs_weights(n_theta, n_phi)
+    M = len(dirs)
+    Li_all = envmap_lookup(envmap, dirs)          # [M, 3]
+    color = np.zeros((N, 3), np.float64)
+
+    hit_idx = np.nonzero(hit)[0]
+    Nh = len(hit_idx)
+    if Nh == 0:
+        H, W = cam.H, cam.W
+        return {"color": color.reshape(H, W, 3).astype(np.float32),
+                "depth": np.where(hit, tr["t"], 0.0).reshape(H, W),
+                "mask": hit.reshape(H, W),
+                "normal": np.where(hit[:, None], n, 0.0).reshape(H, W, 3)}
+    hp = pts[hit_idx]
+    hn = n[hit_idx]
+    hwo = wo[hit_idx]
+    hdiff, hspec, hrough = (tr["diffuse"][hit_idx], tr["specular"][hit_idx],
+                            tr["rough"][hit_idx])
+
+    cos_i = hn @ dirs.T                           # [Nh, M]
+    front = cos_i > 1e-4
+    vis = front.copy()
+    if with_shadows:
+        # one batched BVH pass over every front-facing (hit, dir) pair
+        pi, dj = np.nonzero(front)
+        so = hp[pi] + shadow_eps * hn[pi]
+        sd = dirs[dj]
+        ts, _, _ = ray_mesh_intersect(np.ascontiguousarray(so),
+                                      np.ascontiguousarray(sd),
+                                      tr["verts"], tr["tris"])
+        vis[pi, dj] = ts <= 0  # no hit -> sky visible
+
+    # per-pair BRDF: broadcast points over the direction axis
+    wi_b = np.broadcast_to(dirs[None], (Nh, M, 3))
+    diff, spec = _ggx_roughplastic_np(
+        wi_b, hwo[:, None, :], hn[:, None, :], hdiff[:, None, :],
+        hspec[:, None, :], hrough[:, None, :])    # [Nh, M, 3]
+    contrib = (Li_all[None] * w[None, :, None]) * (diff + spec)
+    color[hit_idx] = np.sum(np.where(vis[..., None], contrib, 0.0), axis=1)
+    H, W = cam.H, cam.W
+    return {
+        "color": color.reshape(H, W, 3).astype(np.float32),
+        "depth": np.where(hit, tr["t"], 0.0).reshape(H, W),
         "mask": hit.reshape(H, W),
         "normal": np.where(hit[:, None], n, 0.0).reshape(H, W, 3),
     }

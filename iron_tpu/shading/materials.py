@@ -84,6 +84,20 @@ def _base_configs(renderer_name: str) -> Dict[str, RenderingConfig]:
             "metallic_k_network": _rn(6, 1, output_bias=0.1, output_scale=1.0, **_SCALAR_HEAD),
             "dielectric_eta_network": _rn(6, 1, output_bias=0.1, output_scale=1.0, **_SCALAR_HEAD),
         }
+    if renderer_name == "disney":
+        # Disney-principled flavor composing the reference's latent helpers
+        # (renderer_ggx.py:607-779) into a runnable co-located renderer
+        # (shading/disney.py): ggx-style heads + metallic/spec_tint/
+        # clearcoat scalar heads.
+        return {
+            "color_network": _COLOR,
+            "diffuse_albedo_network": _rn(9, 3, 4, "idr", 0, 4, True),
+            "specular_albedo_network": _rn(6, 3, output_bias=0.4, output_scale=0.1, **_SCALAR_HEAD),
+            "specular_roughness_network": _rn(6, 1, output_bias=0.1, output_scale=0.1, **_SCALAR_HEAD),
+            "metallic_network": _rn(6, 1, output_bias=0.1, output_scale=0.1, **_SCALAR_HEAD),
+            "spec_tint_network": _rn(6, 1, output_bias=0.1, output_scale=0.1, **_SCALAR_HEAD),
+            "clearcoat_network": _rn(6, 1, output_bias=0.1, output_scale=0.1, **_SCALAR_HEAD),
+        }
     if renderer_name == "comp2":  # network_conf.py:318-479
         cfg = renderer_network_configs("comp")
         cfg["diffuse_albedo_network"] = _rn(9, 3, 4, "idr", 0, 4, True)
@@ -139,6 +153,17 @@ def get_materials_comp(params, cfgs, points, normals, features) -> Dict:
     return out
 
 
+def get_materials_disney(params, cfgs, points, normals, features) -> Dict:
+    """disney-flavor query: ggx materials + metallic/spec_tint/clearcoat."""
+    out = get_materials(params, cfgs, points, normals, features)
+    for key, net in [("metallic", "metallic_network"),
+                     ("spec_tint", "spec_tint_network"),
+                     ("clearcoat", "clearcoat_network")]:
+        out[key] = jnp.clip(jnp.abs(_q(params, cfgs, net, points, normals,
+                                       None, features)), 0.0, 1.0)
+    return out
+
+
 def get_materials_multi(params, cfgs, points, normals, features) -> Dict:
     """mixture-flavor query (rendering_func.py:50-63)."""
     diffuse = jnp.abs(_q(params, cfgs, "diffuse_albedo_network", points, normals, -normals, features))
@@ -168,6 +193,10 @@ def shade_points(renderer_name: str, params, cfgs, ray_o, ray_d, points, normals
     elif renderer_name == "multi":
         mats = get_materials_multi(params, cfgs, points, normals, features)
         res = brdf.mixture_colocated(light, distance, normals, viewdir, mats)
+    elif renderer_name == "disney":
+        from iron_tpu.shading.disney import disney_principled_colocated
+        mats = get_materials_disney(params, cfgs, points, normals, features)
+        res = disney_principled_colocated(light, distance, normals, viewdir, mats)
     elif renderer_name in ("comp", "comp2"):
         mats = get_materials_comp(params, cfgs, points, normals, features)
         if use_env_light:
@@ -188,6 +217,13 @@ def shade_points(renderer_name: str, params, cfgs, ray_o, ray_d, points, normals
         "specular_albedo": mats["specular_albedo"],
         "specular_roughness": mats["specular_roughness"][..., 0],
     }
+    if renderer_name == "disney":
+        out.update({
+            "metallic": mats["metallic"][..., 0],
+            "spec_tint": mats["spec_tint"][..., 0],
+            "clearcoat": mats["clearcoat"][..., 0],
+            "clearcoat_rgb": res["clearcoat_rgb"],
+        })
     if renderer_name in ("comp", "comp2"):
         out.update({
             "metallic_rgb": res["metallic_rgb"],

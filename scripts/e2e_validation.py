@@ -37,6 +37,12 @@ def main():
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--n_samples", type=int, default=48)
     p.add_argument("--n_importance", type=int, default=48)
+    p.add_argument("--independent_gt", action="store_true",
+                   help="train + evaluate against the INDEPENDENT ground-"
+                        "truth renderer (native BVH + numpy Mitsuba GGX, "
+                        "iron_tpu/eval/independent_gt.py) instead of the "
+                        "framework's own golden renderer — the Mitsuba-"
+                        "equivalent de-circularized quality gate")
     args = p.parse_args()
     if args.fast:
         args.stage1_iters, args.stage2_iters, args.res = 300, 150, 64
@@ -57,17 +63,25 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     t_start = time.time()
     report = {"scene": args.scene, "res": args.res,
-              "stage1_iters": args.stage1_iters, "stage2_iters": args.stage2_iters}
+              "stage1_iters": args.stage1_iters, "stage2_iters": args.stage2_iters,
+              "gt_source": "independent" if args.independent_gt else "golden"}
 
-    # ---- golden data ----
+    # ---- GT data ----
     n_views = 14
     light_gt = 30.0
     rig_kwargs = None
     if args.rig == "hemisphere" and args.scene == "torus":
         rig_kwargs = {"pole": "y"}   # torus hole axis (data/synthetic.py)
-    data = render_synthetic_dataset(args.scene, n_views=n_views, H=args.res,
-                                    W=args.res, light=light_gt, rig=args.rig,
-                                    rig_kwargs=rig_kwargs)
+    if args.independent_gt:
+        from iron_tpu.eval.independent_gt import render_independent_dataset
+        data = render_independent_dataset(
+            args.scene, n_views=n_views, H=args.res, W=args.res,
+            light=light_gt, rig=args.rig, rig_kwargs=rig_kwargs,
+            mesh_resolution=384)
+    else:
+        data = render_synthetic_dataset(args.scene, n_views=n_views, H=args.res,
+                                        W=args.res, light=light_gt, rig=args.rig,
+                                        rig_kwargs=rig_kwargs)
     if args.rig == "hemisphere":
         # the Fibonacci spiral orders views by elevation — hold out two
         # mid-sequence views so the test elevations are inside the train range
@@ -78,7 +92,11 @@ def main():
     ds = RayDataset.from_arrays(data["images"][train_idx], data["Ks"][train_idx],
                                 data["W2Cs"][train_idx],
                                 data["masks"][train_idx][..., :1])
-    gt_verts, gt_tris = extract_geometry(lambda p: -data["sdf_fn"](p), resolution=128)
+    if args.independent_gt:
+        gt_verts, gt_tris = data["verts"], data["tris"]  # independent mesher
+    else:
+        gt_verts, gt_tris = extract_geometry(lambda p: -data["sdf_fn"](p),
+                                             resolution=128)
     gt_verts, gt_tris = largest_component(gt_verts, gt_tris)
     print(f"[data] {n_views} views, GT mesh {len(gt_verts)} verts", flush=True)
 
@@ -118,8 +136,24 @@ def main():
     print(f"[stage2] {report['stage2']}", flush=True)
 
     light_rec = float(s2.params["materials"]["point_light_network"]["light"])
+    # For a co-located flash, light x albedo is the IDENTIFIABLE quantity
+    # (any c>0 rescale of light with albedo/c renders identically); the raw
+    # light rel_err is reported for context but is expected to be large.
+    from iron_tpu.fields.sdf import sdf_value_feat_grad
+    from iron_tpu.shading.materials import get_materials
+    surf = jnp.asarray(gt_verts[np.random.default_rng(0).choice(
+        len(gt_verts), size=min(4096, len(gt_verts)), replace=False)], jnp.float32)
+    _, feat, grad = sdf_value_feat_grad(s2.params["sdf"], surf, s2_cfg.sdf)
+    nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+    mats = get_materials(s2.params["materials"], s2.mat_cfgs, surf, nrm, feat)
+    albedo_rec = np.asarray(jnp.mean(mats["diffuse_albedo"], axis=0))
+    albedo_gt = np.asarray([0.6, 0.3, 0.2])  # data generator's constant
+    prod_rel_err = float(np.mean(np.abs(light_rec * albedo_rec
+                                        - light_gt * albedo_gt)
+                                 / (light_gt * albedo_gt)))
     report["light"] = {"gt": light_gt, "recovered": light_rec,
-                       "rel_err": abs(light_rec - light_gt) / light_gt}
+                       "rel_err": abs(light_rec - light_gt) / light_gt,
+                       "light_albedo_product_rel_err": prod_rel_err}
 
     # ---- held-out view quality ----
     psnrs, ssims = [], []

@@ -204,3 +204,53 @@ def test_mixture_parity():
                                (ref_diffuse + ref_specular).numpy(),
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ours["material_map"]), mv, atol=0)
+
+
+def test_disney_helpers_basic():
+    """Disney-principled helper lobes (renderer_ggx.py:607-779): schlick
+    endpoints, clearcoat NDF normalization trend, retro-diffuse limits."""
+    from iron_tpu.shading.disney import (schlick_weight, schlick_r0_eta,
+                                         calc_schlick, clearcoat_D,
+                                         disney_diffuse, clearcoat_lobe)
+    # schlick weight endpoints
+    np.testing.assert_allclose(float(schlick_weight(jnp.asarray(1.0))), 0.0)
+    np.testing.assert_allclose(float(schlick_weight(jnp.asarray(0.0))), 1.0)
+    np.testing.assert_allclose(float(schlick_r0_eta(jnp.asarray(1.5))), 0.04, atol=1e-3)
+    # calc_schlick interpolates R0 -> 1 as cos -> 0
+    cos = jnp.asarray([[0.999999], [1e-4]])
+    v = calc_schlick(0.04, cos, 1.5)
+    np.testing.assert_allclose(np.asarray(v[0]), 0.04, atol=1e-4)
+    # grazing limit: near-total reflectance (not exactly 1.0 — the
+    # reference clamps eta into (0,1), reproduced for parity)
+    assert float(v[1, 0]) > 0.9
+    # clearcoat NDF sharpens with clearcoat -> 1
+    d0 = float(clearcoat_D(jnp.asarray([[1.0]]), jnp.asarray([[0.0]]))[0, 0])
+    d1 = float(clearcoat_D(jnp.asarray([[1.0]]), jnp.asarray([[1.0]]))[0, 0])
+    assert d1 > 10 * d0
+    # retro-diffuse is bounded and positive at normal incidence
+    dd = disney_diffuse(jnp.asarray([[0.9]]), jnp.asarray([[0.3]]),
+                        jnp.asarray([[0.5, 0.5, 0.5]]))
+    assert np.all(np.asarray(dd) > 0)
+    cc = clearcoat_lobe(jnp.asarray([[0.9]]), jnp.asarray([[0.5]]), 1.5)
+    assert np.all(np.isfinite(np.asarray(cc))) and float(cc[0, 0]) > 0
+
+
+def test_disney_flavor_shades():
+    """The "disney" registry flavor runs end to end through shade_points."""
+    import jax
+    from iron_tpu.shading.materials import init_material_networks, shade_points
+    params, cfgs = init_material_networks(jax.random.PRNGKey(0), "disney",
+                                          d_feature=256)
+    g = np.random.default_rng(0)
+    n = 64
+    pts = jnp.asarray(g.normal(size=(n, 3)), jnp.float32) * 0.3
+    normals = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1e-9)
+    ray_o = jnp.asarray(np.tile([[0.0, 0.0, 3.0]], (n, 1)), jnp.float32)
+    ray_d = pts - ray_o
+    ray_d = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    feats = jnp.zeros((n, 256))
+    out = shade_points("disney", params, cfgs, ray_o, ray_d, pts, normals, feats)
+    assert out["color"].shape == (n, 3)
+    assert np.all(np.isfinite(np.asarray(out["color"])))
+    for k in ("metallic", "spec_tint", "clearcoat", "clearcoat_rgb"):
+        assert k in out

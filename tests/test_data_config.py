@@ -179,3 +179,19 @@ def test_hemisphere_camera_rig_geometry():
         for cam in cams:
             uv = np.asarray(project(cam, jnp.zeros((1, 3))))
             np.testing.assert_allclose(uv[0], [32.0, 32.0], atol=1e-2)
+
+
+def test_load_image_folder_shard(tmp_path):
+    """Per-host sharding selects files before reading (SURVEY §2.5
+    per-host image shards)."""
+    from iron_tpu.data.synthetic import render_synthetic_dataset, write_scene_dir
+    from iron_tpu.data.dataset import load_image_folder
+    d = render_synthetic_dataset("sphere", n_views=5, H=24, W=24)
+    write_scene_dir(d, str(tmp_path))
+    full = load_image_folder(str(tmp_path), "image")
+    s0 = load_image_folder(str(tmp_path), "image", shard=(0, 2))
+    s1 = load_image_folder(str(tmp_path), "image", shard=(1, 2))
+    assert len(full[0]) == 5 and len(s0[0]) == 3 and len(s1[0]) == 2
+    assert sorted(s0[0] + s1[0]) == sorted(full[0])
+    np.testing.assert_array_equal(s0[1][0], full[1][0])
+    np.testing.assert_array_equal(s1[1][0], full[1][1])

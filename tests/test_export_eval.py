@@ -93,3 +93,21 @@ def test_psnr_ssim_np():
     x = g.uniform(size=(32, 32, 3)).astype(np.float32)
     assert psnr_np(x, x) > 100
     assert abs(ssim_np(x, x) - 1.0) < 1e-5
+
+
+def test_perceptual_distance_substitute():
+    """The self-contained perceptual metric (LPIPS substitute): zero at
+    identity, monotone in distortion, and deterministic."""
+    from iron_tpu.eval.metrics import perceptual_distance_np
+    g = np.random.default_rng(0)
+    base = g.uniform(size=(64, 64, 3)).astype(np.float32)
+    # smooth it so it has structure
+    for _ in range(3):
+        base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                       + np.roll(base, 1, 1) + np.roll(base, -1, 1))
+    assert perceptual_distance_np(base, base) < 1e-10
+    d_small = perceptual_distance_np(base, base + 0.05 * g.normal(size=base.shape).astype(np.float32))
+    d_large = perceptual_distance_np(base, base + 0.3 * g.normal(size=base.shape).astype(np.float32))
+    assert 0 < d_small < d_large
+    # deterministic across calls
+    assert perceptual_distance_np(base, 1 - base) == perceptual_distance_np(base, 1 - base)
