@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Dict, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +69,23 @@ class SurfaceRenderConfig:
     # overflow a lax.cond falls back to full-tile shading, so any coverage
     # is handled exactly.  None = always full tile.
     interior_budget: Optional[int] = None
+
+
+def scale_config_for_resolution(cfg: SurfaceRenderConfig, H: int, W: int,
+                                train_patch: int = 128) -> SurfaceRenderConfig:
+    """Scale the static edge budget to a render resolution.
+
+    Budgets are tuned for training crops (`train_patch`^2); silhouettes are
+    1-D curves, so seed counts grow ~linearly with image side.  Full-image
+    renders (--render_all) call this so a 512^2+ eval is never silently
+    budget-capped (the reference processes ALL edge pixels,
+    raytracer.py:422-539).
+    """
+    import dataclasses as _dc
+    scale = max(1, int(np.ceil((H + W) / (2.0 * train_patch))))
+    if scale == 1:
+        return cfg
+    return _dc.replace(cfg, edge_budget=cfg.edge_budget * scale)
 
 
 def raytrace_pixels(sdf_fn, cam: Camera, uv: jnp.ndarray,
@@ -223,6 +241,12 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
         if debug:  # VERBOSE_MODE buffers (raytracer.py:587-588)
             res["depth_grad_norm"] = grad_mag
             res["depth_edge_mask"] = depth_edge_mask
+        # overflow diagnostics: seeds beyond the static budget are dropped
+        # (the reference processes all edge pixels, raytracer.py:422-539);
+        # surface the counts so a capped render is never silent.
+        n_seeds = jnp.sum(depth_edge_mask.astype(jnp.int32))
+        res["edge_seed_count"] = n_seeds
+        res["edge_seeds_dropped"] = jnp.maximum(n_seeds - cfg.edge_budget, 0)
         sel, seed_valid = _select_topk_mask(depth_edge_mask.reshape(-1), cfg.edge_budget)
         seeds = res["points"].reshape(-1, 3)[sel]
         nograd_all = lambda p: jax.tree_util.tree_map(

@@ -78,6 +78,13 @@ class Stage1Config:
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
     occupancy_update_every: int = 256
+    # rematerialize the differentiable SDF/color applies in render_core:
+    # the second-order eikonal graph otherwise retains [B, S, 256]
+    # activations for BOTH sweeps of the double backward (41 GB of HLO
+    # temps at batch 8192, BENCH_NOTES), capping the usable batch.  With
+    # remat the backward recomputes the MLP forward instead — the enabler
+    # for the 2k-16k batch sweep (scripts/bench_stage1_scaling.py).
+    remat_core: bool = False
     # non-blocking orbax checkpointing (SURVEY §5): saves run in a
     # background thread so the step loop never stalls on serialization.
     # The CLI turns this on for real runs; pickle remains the default for
@@ -116,6 +123,9 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
     sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, core_cfg)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
         params["color"], cfg.color, pts, grads, dirs, feat)
+    if cfg.remat_core:
+        sdf_all_fn = jax.checkpoint(sdf_all_fn)
+        color_fn = jax.checkpoint(color_fn)
     nerf_fn = None
     if cfg.render.n_outside > 0:
         nerf_fn = lambda pts4, dirs: nerf_apply(params["nerf"], cfg.nerf, pts4, dirs)

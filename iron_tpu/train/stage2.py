@@ -224,6 +224,13 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
     metrics = {"loss": loss, "img_loss": img_loss, "img_l2_loss": img_l2,
                "img_ssim_loss": img_ssim, "eik_loss": eik, "roughrange_loss": rough,
                "mask_frac": jnp.mean(mask.astype(jnp.float32))}
+    if cfg.surface.handle_edges:
+        # edge-coverage diagnostics (budget-overflow visibility, VERDICT r2
+        # item 7): seeds found, seeds beyond the static budget, edge pixels
+        metrics["edge_seed_count"] = res["edge_seed_count"].astype(jnp.float32)
+        metrics["edge_seeds_dropped"] = res["edge_seeds_dropped"].astype(jnp.float32)
+        metrics["edge_pixel_count"] = jnp.sum(
+            res["edge_mask"].astype(jnp.float32))
 
     if cfg.renderer_name in ("comp", "comp2"):
         m_eta, m_k = metal_eta_k_loss(res["metallic_eta"], res["metallic_k"], mask,
@@ -415,12 +422,17 @@ class Stage2Trainer:
         if key not in self._render_full_cache:
             cfg = self.cfg
             mat_cfgs = self.mat_cfgs
+            # full-frame renders scale the edge budget with resolution so
+            # eval images are never silently budget-capped
+            from iron_tpu.surface.render import scale_config_for_resolution
+            surf_cfg = scale_config_for_resolution(cfg.surface, cam.H, cam.W,
+                                                   train_patch=cfg.patch_size)
 
             @jax.jit
             def run(params, cam):
                 f = build_stage2_fns(params, mat_cfgs, cfg)
                 return render_camera(f["sdf_fn"], f["sdf_all_fn"],
-                                     f["shade_fn"], cam, cfg.surface,
+                                     f["shade_fn"], cam, surf_cfg,
                                      is_training=is_training,
                                      trace_sdf_fn=f["trace_sdf_fn"],
                                      trace_sdf_all_fn=f["trace_sdf_all_fn"],

@@ -77,7 +77,7 @@ def main():
         data = render_independent_dataset(
             args.scene, n_views=n_views, H=args.res, W=args.res,
             light=light_gt, rig=args.rig, rig_kwargs=rig_kwargs,
-            mesh_resolution=384)
+            mesh_resolution=192 if args.fast else 384)
     else:
         data = render_synthetic_dataset(args.scene, n_views=n_views, H=args.res,
                                         W=args.res, light=light_gt, rig=args.rig,

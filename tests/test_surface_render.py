@@ -153,3 +153,48 @@ def test_interior_budget_training_gradients_match():
     g_full = float(jax.grad(mean_color)(jnp.asarray(0.5), cfg_full))
     g_bud = float(jax.grad(mean_color)(jnp.asarray(0.5), cfg_bud))
     np.testing.assert_allclose(g_bud, g_full, rtol=1e-5)
+
+
+def test_edge_budget_overflow_diagnostics():
+    """Seed counts and dropped-seed counts are surfaced (VERDICT r2 item 7):
+    a tiny budget reports drops; an adequate one reports zero."""
+    import jax.numpy as jnp
+    from iron_tpu.core.camera import make_camera
+    from iron_tpu.surface.render import (SurfaceRenderConfig, render_camera,
+                                         scale_config_for_resolution)
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 100.0
+    K[0, 2] = K[1, 2] = 40.0
+    W2C = np.eye(4, dtype=np.float32)
+    W2C[:3, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    W2C[2, 3] = 3.0
+    cam = make_camera(K, W2C, 80, 80)
+    sdf_fn = lambda p: jnp.linalg.norm(p, axis=-1) - 0.5
+
+    def sdf_all_fn(p):
+        n = jnp.linalg.norm(p, axis=-1)
+        return n - 0.5, jnp.zeros(p.shape[:-1] + (4,)), p / (n[..., None] + 1e-9)
+
+    shade = lambda ro, rd, pts, nrm, ft: {
+        "color": jnp.ones(pts.shape[:-1] + (3,)) * 0.5,
+        "normal": nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-10)}
+
+    res_ok = render_camera(sdf_fn, sdf_all_fn, shade, cam,
+                           SurfaceRenderConfig(edge_budget=4096))
+    n_seeds = int(res_ok["edge_seed_count"])
+    assert n_seeds > 0
+    # note: seeds include interior depth-gradient pixels (the reference's
+    # 1e-2 sobel threshold, raytracer.py:570), so n_seeds >> perimeter
+    assert int(res_ok["edge_seeds_dropped"]) == 0
+
+    res_tiny = render_camera(sdf_fn, sdf_all_fn, shade, cam,
+                             SurfaceRenderConfig(edge_budget=16))
+    assert int(res_tiny["edge_seed_count"]) == n_seeds
+    assert int(res_tiny["edge_seeds_dropped"]) == n_seeds - 16
+
+    # resolution scaling: 512^2 render with 128-patch budgets gets 4x
+    cfg = SurfaceRenderConfig(edge_budget=1024)
+    scaled = scale_config_for_resolution(cfg, 512, 512, train_patch=128)
+    assert scaled.edge_budget == 4096
+    assert scale_config_for_resolution(cfg, 128, 128).edge_budget == 1024
