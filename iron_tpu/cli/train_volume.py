@@ -56,14 +56,14 @@ def main(argv=None):
     trainer = Stage1Trainer(cfg, ds, out_dir=out_dir)
     start = trainer.resume()
     if start == 0 and args.init_ckpt_dir:
-        from iron_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
+        from iron_tpu.train.checkpoints import load_any_checkpoint
         import jax.numpy as jnp
         import jax as _jax
-        path = latest_checkpoint(args.init_ckpt_dir)
-        if path:
-            ck = load_checkpoint(path)
+        ck = load_any_checkpoint(args.init_ckpt_dir)
+        if ck is not None:
             trainer.params = _jax.tree_util.tree_map(jnp.asarray, ck["params"])
-            print(f"[stage1] warm-started from {path}")
+            print(f"[stage1] warm-started from {args.init_ckpt_dir} "
+                  f"(step {ck['step']})")
     print(f"[stage1] dataset {ds.n_images} images {ds.hw}; resume step {start}")
 
     if args.mode == "validate_image":

@@ -55,6 +55,17 @@ class SurfaceRenderConfig:
     edge_budget: int = 1024          # static max edge candidates per render
     edge_walk_steps: int = 16        # raytracer.py:578 max_step
     edge_step_size: float = 1e-3     # raytracer.py:579
+    # Pixel-proportional walk step (round-3 fix): the reference's absolute
+    # 1e-3 step is ~1/4 px on its DTU captures (1600px, unit sphere at
+    # d~3.5) but ~1/20 px at 128-256 px synthetic scale, so the 16-step
+    # walk could never reach the silhouette from ANY seed — measured 8
+    # found edge pixels out of a ~170 px sphere silhouette, and a perfect
+    # torus monotonically destroyed by silhouette-blind stage-2 training
+    # (scripts/diag_torus_stage2.py).  With edge_step_px > 0 the step is
+    # max(edge_step_size, edge_step_px * depth / focal) per point — the
+    # reference's behavior at the reference's own pixel footprint, made
+    # resolution-invariant.  0 restores the absolute step.
+    edge_step_px: float = 0.75
     edge_dot_threshold: float = 5e-2  # raytracer.py:580
     depth_edge_threshold: float = 1e-2  # raytracer.py:570
     hole_depth_threshold: float = 1e-2  # raytracer.py:558
@@ -122,11 +133,13 @@ def locate_edge_points(sdf_all_fn, cam: Camera, start_points: jnp.ndarray,
     found-mask, walked points, and their projections.
     """
     cam_o = camera_origin(cam)
+    focal = 0.5 * (jnp.abs(cam.K[0, 0]) + jnp.abs(cam.K[1, 1]))
 
     def step(i, carry):
         pts, found = carry
         viewdir = cam_o - pts
-        viewdir = viewdir / (jnp.linalg.norm(viewdir, axis=-1, keepdims=True) + 1e-10)
+        dist = jnp.linalg.norm(viewdir, axis=-1, keepdims=True)
+        viewdir = viewdir / (dist + 1e-10)
         sdf, _, grad = sdf_all_fn(pts)
         normal = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
         dot = jnp.sum(normal * viewdir, axis=-1)
@@ -135,13 +148,30 @@ def locate_edge_points(sdf_all_fn, cam: Camera, start_points: jnp.ndarray,
         walkdir = normal - viewdir / dot[..., None]
         walkdir = walkdir / (jnp.linalg.norm(walkdir, axis=-1, keepdims=True) + 1e-10)
         walkdir = walkdir - sdf[..., None] * normal
+        if cfg.edge_step_px > 0:
+            step_size = jnp.maximum(cfg.edge_step_size,
+                                    cfg.edge_step_px * dist / focal)
+        else:
+            step_size = cfg.edge_step_size
         active = seed_valid & ~found
-        pts = jnp.where(active[..., None], pts + cfg.edge_step_size * walkdir, pts)
+        pts = jnp.where(active[..., None], pts + step_size * walkdir, pts)
         return pts, found
 
     pts, found = jax.lax.fori_loop(
         0, cfg.edge_walk_steps, step,
         (start_points, jnp.zeros(start_points.shape[:1], bool)))
+    # Newton-project the walked points back onto the zero level set: the
+    # in-walk `- sdf*normal` correction is scaled by the step size
+    # (reference semantics, raytracer.py:466), which leaves an O(step)
+    # standoff with the pixel-proportional steps.  Two p -= f(p)·n(p)
+    # iterations restore |f| to the tracer's accuracy class.  Skipped in
+    # the reference-exact absolute-step mode (edge_step_px == 0), which
+    # stays bit-compatible with the reference walk.
+    if cfg.edge_step_px > 0:
+        for _ in range(2):
+            p_sdf, _, p_grad = sdf_all_fn(pts)
+            p_n = p_grad / (jnp.linalg.norm(p_grad, axis=-1, keepdims=True) + 1e-10)
+            pts = pts - p_sdf[..., None] * p_n
     # final convergence check (the reference re-tests after the last step)
     viewdir = cam_o - pts
     viewdir = viewdir / (jnp.linalg.norm(viewdir, axis=-1, keepdims=True) + 1e-10)

@@ -43,7 +43,8 @@ def test_train_volume_cli(scene_dir, tmp_path):
     tv.main(["--mode", "train", "--conf", str(conf_path),
              "--data_dir", os.path.join(scene_dir, "train"),
              "--out_dir", out_dir, "--num_iters", "6"])
-    assert any(f.startswith("ckpt_") for f in os.listdir(out_dir))
+    from iron_tpu.train.checkpoints import load_any_checkpoint
+    assert load_any_checkpoint(out_dir) is not None  # pickle or orbax
     assert any(f.startswith("val_") for f in os.listdir(out_dir))
 
     # mesh validation mode from the checkpoint

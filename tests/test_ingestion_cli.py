@@ -96,17 +96,17 @@ def test_cli_two_stage_dry_run(scene_dir, tmp_path):
     from iron_tpu.cli.train_volume import main as train_volume
     train_volume(["--mode", "train", "--conf", str(conf_path),
                   "--num_iters", "30"])
-    from iron_tpu.train.checkpoints import latest_checkpoint
-    ckpt = latest_checkpoint(str(tmp_path / "exp1"))
-    assert ckpt is not None
+    from iron_tpu.train.checkpoints import load_any_checkpoint
+    assert load_any_checkpoint(str(tmp_path / "exp1")) is not None
 
     from iron_tpu.cli.train_surface import main as train_surface
     out2 = str(tmp_path / "exp2")
     train_surface(["--data_dir", root, "--out_dir", out2,
-                   "--neus_ckpt_fpath", ckpt, "--renderer_name", "ggx",
+                   "--neus_ckpt_fpath", str(tmp_path / "exp1"),
+                   "--renderer_name", "ggx",
                    "--num_iters", "4", "--patch_size", "32", "--use_mask",
                    "--skip_final_export"])
-    assert latest_checkpoint(out2) is not None
+    assert load_any_checkpoint(out2) is not None
     assert os.path.isfile(os.path.join(out2, "args.txt"))
 
 
@@ -148,5 +148,5 @@ def test_cli_env_flash_warm_start(scene_dir, tmp_path, capsys):
                   "--init_ckpt_dir", str(tmp_path / "exp_env")])
     out = capsys.readouterr().out
     assert "warm-started from" in out
-    from iron_tpu.train.checkpoints import latest_checkpoint
-    assert latest_checkpoint(str(tmp_path / "exp_flash")) is not None
+    from iron_tpu.train.checkpoints import load_any_checkpoint
+    assert load_any_checkpoint(str(tmp_path / "exp_flash")) is not None

@@ -41,8 +41,12 @@ def test_singleview_silhouette_fit():
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
     ps = 64
+    # reference-exact walk parameters (absolute 1e-3 steps): this test
+    # replays the reference's canonical single-view experiment verbatim;
+    # the pixel-proportional default walk is covered by
+    # test_surface_render.py edge-coverage tests
     scfg = SurfaceRenderConfig(fill_holes=False, handle_edges=True,
-                               edge_budget=256)
+                               edge_budget=256, edge_step_px=0.0)
 
     def loss_fn(params, ul_col, ul_row, key):
         sdf_fn = lambda p: sdf_only(params, p, sdf_cfg)
