@@ -29,18 +29,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_A100_RAYS_S = 50_000.0  # engineering ESTIMATE, not a measurement
 
 # bf16 peak matmul throughput per chip, by device kind (for MFU).
+# NOTE: v5e peak is 197 TFLOP/s bf16 (394 is the INT8 number — ADVICE r3).
 PEAK_TFLOPS = {
-    "v5 lite": 394.0,   # TPU v5e
-    "v5e": 394.0,
+    "v5 lite": 197.0,   # TPU v5e (bf16; 394 is INT8)
+    "v5e": 197.0,
     "v5p": 459.0,
     "v4": 275.0,
     "v6": 918.0,
 }
 
 PATCH = 128
-WARMUP = 3
+WARMUP = 8
 ITERS = 30
 WINDOWS = 3  # report the best window to suppress tunnel/host jitter
+MFU_TIME_BUDGET_S = 120  # diagnostics may never sink the primary metric
 
 
 def _peak_tflops() -> float:
@@ -48,26 +50,22 @@ def _peak_tflops() -> float:
     for k, v in PEAK_TFLOPS.items():
         if k in kind:
             return v
-    return 394.0
+    return 197.0
 
 
 def _step_flops(trainer) -> float:
-    """XLA's own FLOP estimate for one compiled training step.  The
-    program is fixed-shape/mask-carried so scheduled == executed FLOPs,
-    except inside the Pallas coarse-march kernel (per-tile early exit, and
-    XLA cannot see into pallas_call) — treat the result as the analytic
-    per-step cost of the XLA portion."""
-    import jax.numpy as jnp
-    args = (trainer.params, trainer.opt_state, jax.random.PRNGKey(0),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32))
-    try:
-        cost = trainer._train_step.lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
+    """XLA's own FLOP estimate for one training step, from the SAME
+    one-step program the timed run executed (already compiled, so the
+    persistent cache serves the lowering — no second cold compile, the
+    round-3 rc-124 failure mode).  Fixed-shape/mask-carried program, so
+    scheduled == executed FLOPs except inside the Pallas coarse-march
+    kernel (XLA cannot see into pallas_call)."""
+    z = jnp.asarray(0, jnp.int32)
+    args = (trainer.params, trainer.opt_state, jax.random.PRNGKey(0), z, z, z)
+    cost = trainer._train_step.lower(*args).compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
 
 
 def main():
@@ -82,7 +80,8 @@ def main():
                                                    interior_budget=4096))
     tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"])
 
-    # warmup (compile)
+    # warmup (compile) — per-step dispatch is the trainer default (23%
+    # faster than the scan path, scripts/bench_step_dispatch.py)
     tr.run(num_iters=WARMUP)
     jax.block_until_ready(tr.params)
 
@@ -95,10 +94,31 @@ def main():
 
     rays_per_step = PATCH * PATCH
     rays_per_s = rays_per_step * ITERS / best_dt
-    flops = _step_flops(tr)
     dt_step = best_dt / ITERS
-    tflops = flops / dt_step / 1e12
-    mfu = tflops / _peak_tflops()
+
+    # MFU diagnostic, hard-bounded: the primary metric is printed no matter
+    # what happens here (round 3 lost its driver bench to an unbounded
+    # second compile inside the diagnostic, BENCH_r03.json rc=124).
+    tflops = mfu = None
+    try:
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("mfu diagnostic over budget")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(MFU_TIME_BUDGET_S)
+        try:
+            flops = _step_flops(tr)
+            if flops > 0:
+                tflops = round(flops / dt_step / 1e12, 2)
+                mfu = round(tflops / _peak_tflops(), 4)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "stage2_train_rays_per_s_per_chip",
         "value": round(rays_per_s, 1),
@@ -106,8 +126,8 @@ def main():
         "vs_baseline": round(rays_per_s / REF_A100_RAYS_S, 3),
         # vs_baseline divides by an ESTIMATED A100 reference rate (no
         # published numbers exist; BASELINE.md); the grounded measures are:
-        "achieved_tflops": round(tflops, 2),
-        "mfu": round(mfu, 4),
+        "achieved_tflops": tflops,
+        "mfu": mfu,
         "baseline_is_estimate": True,
     }))
 

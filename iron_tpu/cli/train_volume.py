@@ -51,6 +51,16 @@ def main(argv=None):
     out_dir = args.out_dir or conf.get("general", {}).get("base_exp_dir", "./exp")
 
     exp = ExperimentDir(out_dir, vars(args))
+    import jax
+    if args.per_host_shard and jax.process_count() > 1:
+        # This CLI trains with the single-host Stage1Trainer (no
+        # cross-process gradient pmean): sharded data without the
+        # distributed dp step would silently train divergent models racing
+        # on one out_dir (ADVICE r3).  Multi-host training goes through
+        # dist.train.make_dp_stage1_step on a global mesh.
+        p.error("--per_host_shard requires the distributed dp step; this "
+                "CLI is single-process. Use iron_tpu.dist.train."
+                "make_dp_stage1_step for multi-host runs.")
     ds = RayDataset.from_folder(data_dir, folder_name=folder,
                             per_host_shard=args.per_host_shard)
     trainer = Stage1Trainer(cfg, ds, out_dir=out_dir)

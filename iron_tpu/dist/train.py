@@ -70,7 +70,8 @@ def make_dp_stage1_step(cfg: Stage1Config, tx, mesh: Mesh,
 
 
 def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
-                        images, Ks, W2Cs) -> Callable:
+                        images=None, Ks=None, W2Cs=None,
+                        per_shard_data: bool = False) -> Callable:
     """Data parallel over patch crops via `jax.shard_map`: each dp shard
     runs the EXACT single-device program (including the Pallas coarse-march
     kernel and the interior-shading budget — pallas_call is not
@@ -79,32 +80,71 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
     gradients are pmean'd over `dp` and the (replicated) optimizer update
     is applied identically everywhere.
 
-    Returns jitted (params, opt_state, keys [D], img_idx [D], ul_col [D],
-    ul_row [D]) -> (params, opt_state, metrics).
+    With `per_shard_data=False` (default), the full image stack is baked
+    into the program replicated — fine for one host.  With
+    `per_shard_data=True` the data is an ARGUMENT sharded over `dp` on the
+    view axis (SURVEY §2.5 "per-host image shards", stage-2 path): build
+    it with `host_sharded_views` so each process materializes only its
+    local views, and pass LOCAL view indices (each shard samples its own
+    [N/D]-view shard; the gradient pmean averages across shards — the same
+    semantics as the stage-1 `per_host_shard` path).
+
+    Returns jitted
+      per_shard_data=False: (params, opt_state, keys [D,2], img_idx [D],
+                             ul_col [D], ul_row [D])
+      per_shard_data=True:  (params, opt_state, images [N,H,W,3], Ks [N,4,4],
+                             W2Cs [N,4,4], keys, local_idx, ul_col, ul_row)
+    -> (params, opt_state, metrics).
     """
     ps = cfg.patch_size
-    H, W = images.shape[1:3]
+
+    def one_crop_loss(params, img, K, W2C, key, ul_col, ul_row):
+        H, W = img.shape[0], img.shape[1]
+        base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
+                      C2W=jnp.linalg.inv(W2C), H=H, W=W)
+        cam = crop_camera(base, ul_col, ul_row, ps, ps)
+        gt = jax.lax.dynamic_slice(img, (ul_row, ul_col, 0), (ps, ps, 3))
+        return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)
+
+    def crop_body(params, imgs, Ks_l, W2Cs_l, keys, img_idx, ul_col, ul_row):
+        # local shapes: imgs [n_local, H, W, 3], keys [1, 2], idx/ul_* [1]
+        i = img_idx[0]
+        (loss, metrics), grads = jax.value_and_grad(
+            one_crop_loss, has_aux=True)(params, imgs[i], Ks_l[i], W2Cs_l[i],
+                                         keys[0], ul_col[0], ul_row[0])
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.lax.pmean(metrics, "dp")
+        return metrics, grads
+
+    repl = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P("dp"))
+
+    if per_shard_data:
+        sharded = jax.shard_map(
+            crop_body, mesh=mesh,
+            in_specs=(P(), P("dp"), P("dp"), P("dp"),
+                      P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P(), P()), check_vma=False)
+
+        def step_fn(params, opt_state, images, Ks, W2Cs,
+                    keys, img_idx, ul_col, ul_row):
+            metrics, grads = sharded(params, images, Ks, W2Cs,
+                                     keys, img_idx, ul_col, ul_row)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return jax.jit(step_fn,
+                       in_shardings=(repl, repl, sh, sh, sh, sh, sh, sh, sh),
+                       donate_argnums=(0, 1))
+
     images = jnp.asarray(images, jnp.float32)
     Ks = jnp.asarray(Ks, jnp.float32)
     W2Cs = jnp.asarray(W2Cs, jnp.float32)
 
-    def one_crop_loss(params, key, img_idx, ul_col, ul_row):
-        K = Ks[img_idx]
-        W2C = W2Cs[img_idx]
-        base = Camera(K=K, W2C=W2C, K_inv=jnp.linalg.inv(K),
-                      C2W=jnp.linalg.inv(W2C), H=H, W=W)
-        cam = crop_camera(base, ul_col, ul_row, ps, ps)
-        gt = jax.lax.dynamic_slice(images[img_idx], (ul_row, ul_col, 0), (ps, ps, 3))
-        return stage2_loss(params, mat_cfgs, cfg, cam, gt, key)
-
     def shard_body(params, keys, img_idx, ul_col, ul_row):
-        # local shapes: keys [1, 2], img_idx/ul_* [1]
-        (loss, metrics), grads = jax.value_and_grad(
-            one_crop_loss, has_aux=True)(params, keys[0], img_idx[0],
-                                         ul_col[0], ul_row[0])
-        grads = jax.lax.pmean(grads, "dp")
-        metrics = jax.lax.pmean(metrics, "dp")
-        return metrics, grads
+        return crop_body(params, images, Ks, W2Cs,
+                         keys, img_idx, ul_col, ul_row)
 
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
@@ -117,11 +157,29 @@ def make_dp_stage2_step(cfg: Stage2Config, mat_cfgs, tx, mesh: Mesh,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    sh = NamedSharding(mesh, P("dp"))
-    repl = NamedSharding(mesh, P())
     return jax.jit(step_fn,
                    in_shardings=(repl, repl, sh, sh, sh, sh),
                    donate_argnums=(0, 1))
+
+
+def host_sharded_views(images, Ks, W2Cs, mesh: Mesh):
+    """Build dp-sharded global view arrays where each process supplies only
+    its OWN views (no process materializes the full stack — SURVEY §2.5
+    stage-2 per-host shards).  Pass the process-local arrays; their
+    concatenation in process order forms the global view axis, which must
+    be evenly divisible by mesh.shape['dp'].
+
+    Returns (images, Ks, W2Cs) as global jax.Arrays sharded P('dp') on the
+    view axis, ready for `make_dp_stage2_step(per_shard_data=True)`.
+    Local view index i on shard d addresses that shard's i-th view.
+    """
+    sh = NamedSharding(mesh, P("dp"))
+    if jax.process_count() > 1:
+        mk = lambda local: jax.make_array_from_process_local_data(
+            sh, np.asarray(local, np.float32))
+        return mk(images), mk(Ks), mk(W2Cs)
+    put = lambda x: jax.device_put(jnp.asarray(x, jnp.float32), sh)
+    return put(images), put(Ks), put(W2Cs)
 
 
 def make_dp_stage1_render(cfg: Stage1Config, mesh: Mesh) -> Callable:

@@ -134,3 +134,35 @@ def sdf_grad(params: dict, x: jnp.ndarray, cfg: SDFConfig = SDFConfig()) -> jnp.
     _, vjp_fn = jax.vjp(lambda p: sdf_only(params, p, cfg), x)
     (grad,) = vjp_fn(jnp.ones(x.shape[:-1], x.dtype))
     return grad
+
+
+def sdf_value_feat_grad_fwd(params: dict, x: jnp.ndarray,
+                            cfg: SDFConfig = SDFConfig()
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Forward-mode variant of `sdf_value_feat_grad` (SURVEY §7.4.2): the
+    per-point gradient comes from 3 structured JVPs (one per input axis,
+    batched by a vmap over tangents) instead of one reverse sweep.
+
+    Why it exists: the normals feed the color net and the eikonal term, so
+    the loss backward differentiates through this function.  With vjp-based
+    normals that is reverse-over-REVERSE — the double-backward graph whose
+    [B,S,256] residuals dominate stage-1 step time (BENCH_NOTES round-3
+    ablation: ~108 of 207 ms at batch 2048).  Here the normal is built from
+    forward-mode primitives, so the loss backward is reverse-over-FORWARD:
+    each layer's JVP rule is differentiated directly, with no second
+    reverse sweep.  Forward FLOPs are higher (3 tangent passes vs 1 reverse
+    pass); whether it wins end-to-end is measured on-chip
+    (scripts/bench_stage1_normals.py).
+
+    Same contract as `sdf_value_feat_grad` (reference fields.py:120-137):
+    differentiable, returns (sdf [...], feature [..., 256], grad [..., 3]).
+    """
+    out = sdf_apply(params, x, cfg)
+    f = lambda p: sdf_only(params, p, cfg)
+    eye = jnp.eye(cfg.d_in, dtype=x.dtype)
+
+    def one_dir(t):
+        return jax.jvp(f, (x,), (jnp.broadcast_to(t, x.shape),))[1]
+
+    grad = jnp.moveaxis(jax.vmap(one_dir)(eye), 0, -1)
+    return out[..., 0], out[..., 1:], grad

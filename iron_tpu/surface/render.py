@@ -264,6 +264,14 @@ def render_camera(sdf_fn, sdf_all_fn, shade_fn, cam: Camera,
                                   res["ray_o"] + res["ray_d"] * res["distance"][..., None],
                                   res["points"])
 
+    # Pixel-center coverage indicator, BEFORE edge pixels are carved out of
+    # the convergent set below: "this pixel's center ray hits the surface".
+    # This is the right semantics for dataset/object masks (the reference's
+    # Mitsuba GT masks are coverage masks, render_rgb_flash_mat.py:57-80);
+    # `convergent_mask | edge_mask` is NOT — walked edge pixels can lie
+    # outside the true silhouette.
+    res["hit_mask"] = res["convergent_mask"]
+
     edge = None
     if cfg.handle_edges:
         grad_mag = sobel_magnitude(res["depth"])

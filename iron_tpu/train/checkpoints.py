@@ -75,6 +75,12 @@ class AsyncCheckpointer:
         import json
         path = os.path.join(self.root, f"{step:07d}")
         if os.path.exists(path):  # idempotent re-save at the same step
+            # Not silent (ADVICE r3): a resumed run that re-trains to this
+            # step keeps the OLD payload; delete the dir to force a re-save.
+            import logging
+            logging.getLogger(__name__).warning(
+                "AsyncCheckpointer: step %d already on disk at %s — "
+                "skipping re-save (existing payload kept)", step, path)
             return path
         payload = {"params": params}
         if opt_state is not None:

@@ -95,9 +95,12 @@ class HashNeRFTrainer:
             self.params["variance"] = init_variance(cfg.variance_init)
         if cfg.use_envmap:
             self.params["envmap"] = 0.5 * jnp.ones(cfg.envmap_hw + (3,))
-        if not self.params:
+        if not (cfg.use_background or cfg.use_foreground):
+            # envmap-only has no geometry/radiance field to composite over:
+            # the loss would KeyError on params['nerf'] (ADVICE r3).
             raise ValueError("enable at least one of use_background/"
-                             "use_foreground/use_envmap")
+                             "use_foreground (use_envmap only adds a "
+                             "background emitter on top of them)")
         self.tx = optax.adam(warmup_cosine_schedule(
             cfg.learning_rate, cfg.warm_up_end, cfg.end_iter))
         self.opt_state = self.tx.init(self.params)

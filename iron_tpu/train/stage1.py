@@ -78,6 +78,13 @@ class Stage1Config:
     # is refreshed every `occupancy_update_every` steps outside the jit.
     use_occupancy: bool = False
     occupancy_update_every: int = 256
+    # how render_core computes per-point normals (fields.sdf):
+    #   'vjp' — one reverse sweep (reference semantics, fields.py:106-137);
+    #   'jvp' — 3 structured forward-mode tangents, so the loss backward
+    #   differentiates a forward-mode graph instead of the second-order
+    #   double-vjp graph (SURVEY §7.4.2; A/B on chip in
+    #   scripts/bench_stage1_normals.py).  Both are exact.
+    normals_mode: str = "vjp"
     # rematerialize the differentiable SDF/color applies in render_core:
     # the second-order eikonal graph otherwise retains [B, S, 256]
     # activations for BOTH sweeps of the double backward (41 GB of HLO
@@ -120,7 +127,11 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
         up_cfg = _dc.replace(cfg.sdf, precision=cfg.upsample_precision)
         sdf_fn = lambda p: sdf_only(params["sdf"], p, up_cfg)
     core_cfg = _dc.replace(cfg.sdf, precision=cfg.core_precision)
-    sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, core_cfg)
+    if cfg.normals_mode == "jvp":
+        from iron_tpu.fields.sdf import sdf_value_feat_grad_fwd
+        sdf_all_fn = lambda p: sdf_value_feat_grad_fwd(params["sdf"], p, core_cfg)
+    else:
+        sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, core_cfg)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
         params["color"], cfg.color, pts, grads, dirs, feat)
     if cfg.remat_core:
@@ -245,8 +256,17 @@ class Stage1Trainer:
         if self.out_dir:
             ck = None
             if self.cfg.async_ckpt:
-                ck = self._async().restore(
-                    target={"params": self.params, "opt_state": self.opt_state})
+                try:
+                    ck = self._async().restore(
+                        target={"params": self.params, "opt_state": self.opt_state})
+                except Exception as e:  # structure mismatch (old-format /
+                    # params-only / changed architecture) — fall through to
+                    # the pickle scan as the ck-is-None logic intends
+                    # (ADVICE r3).
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "orbax restore failed (%s); falling back to pickle "
+                        "checkpoints", e)
             if ck is None:
                 path = latest_checkpoint(self.out_dir)
                 if path:

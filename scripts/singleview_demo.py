@@ -140,7 +140,9 @@ def main():
     save_checkpoint(args.out_dir, step, params)
     # coverage of the final silhouette vs the photo's nonzero region
     res = vjit(params)
-    sil = np.asarray(res["convergent_mask"] | res["edge_mask"])
+    # pixel-center hit mask (coverage semantics; conv|edge would count
+    # walked edge pixels outside the true silhouette)
+    sil = np.asarray(res["hit_mask"])
     photo = np.asarray(gt)[::4, ::4].sum(-1) > 0.05
     inter = (sil & photo).sum()
     union = (sil | photo).sum()

@@ -172,6 +172,64 @@ def test_dp_stage2_step_matches_single_device():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_dp_stage2_per_shard_data_matches_replicated():
+    """The per-shard-data stage-2 step (images an argument sharded over dp
+    on the view axis, LOCAL indices — SURVEY §2.5 stage-2 per-host shards)
+    computes exactly what the replicated-closure step computes when global
+    view g lives on shard g (local index 0 everywhere)."""
+    _need_devices(8)
+    mesh = make_mesh(dp=8, tp=1)
+    D = 8
+    data = render_synthetic_dataset("sphere", n_views=D, H=48, W=48, light=30.0)
+    from iron_tpu.surface.tracer import TracerConfig
+    from iron_tpu.dist.train import host_sharded_views
+    cfg = Stage2Config(renderer_name="ggx", patch_size=16,
+                       surface=SurfaceRenderConfig(
+                           edge_budget=64, edge_side_fallback_budget=16,
+                           tracer=TracerConfig(sphere_tracing_iters=16,
+                                               dense_iters=8,
+                                               fallback_budget=64)))
+    params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    params["materials"]["point_light_network"]["light"] = jnp.asarray(
+        init_light_from_cameras(data["W2Cs"]), jnp.float32)
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), D)
+    g = np.random.default_rng(0)
+    cols = jnp.asarray(g.integers(0, 32, size=(D,)), jnp.int32)
+    rows = jnp.asarray(g.integers(0, 32, size=(D,)), jnp.int32)
+
+    # fresh copies BEFORE the first (donating) step consumes the buffers
+    # that replicate() aliases
+    params2 = jax.tree_util.tree_map(jnp.array, params)
+    opt_state2 = jax.tree_util.tree_map(jnp.array, opt_state)
+
+    # replicated-closure step, global index = shard index
+    step_r = make_dp_stage2_step(cfg, mat_cfgs, tx, mesh,
+                                 data["images"], data["Ks"], data["W2Cs"])
+    p_r, o_r, m_r = step_r(replicate(params, mesh), replicate(opt_state, mesh),
+                           shard_batch(keys, mesh),
+                           shard_batch(jnp.arange(D, dtype=jnp.int32), mesh),
+                           shard_batch(cols, mesh), shard_batch(rows, mesh))
+    step_s = make_dp_stage2_step(cfg, mat_cfgs, tx, mesh, per_shard_data=True)
+    imgs_g, Ks_g, W2Cs_g = host_sharded_views(
+        data["images"], data["Ks"], data["W2Cs"], mesh)
+    p_s, o_s, m_s = step_s(replicate(params2, mesh), replicate(opt_state2, mesh),
+                           imgs_g, Ks_g, W2Cs_g,
+                           shard_batch(keys, mesh),
+                           shard_batch(jnp.zeros((D,), jnp.int32), mesh),
+                           shard_batch(cols, mesh), shard_batch(rows, mesh))
+
+    assert np.isfinite(float(m_s["loss"]))
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_s["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_r),
+                    jax.tree_util.tree_leaves(p_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_dp_stage1_render_matches_single_device():
     """Sharded full-image render == the chunked single-device render."""
     _need_devices(8)

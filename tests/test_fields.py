@@ -68,6 +68,37 @@ def test_sdf_value_feat_grad_consistency():
     np.testing.assert_allclose(np.asarray(g), np.asarray(sdf_grad(params, pts, cfg)), rtol=1e-5, atol=1e-6)
 
 
+def test_sdf_fwd_mode_normals_match_vjp():
+    """The JVP-based normals path (normals_mode='jvp') is exact: values,
+    features and gradients equal the vjp path, and a second-order
+    eikonal-style loss produces the same parameter gradients."""
+    from iron_tpu.fields.sdf import sdf_value_feat_grad_fwd
+
+    cfg = SDFConfig()
+    params = init_sdf(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 3)) * 0.4
+
+    v1, f1, g1 = sdf_value_feat_grad(params, pts, cfg)
+    v2, f2, g2 = sdf_value_feat_grad_fwd(params, pts, cfg)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, fn):
+        v, f, g = fn(p, pts, cfg)
+        # touches all three outputs, incl. second order through g
+        return (jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+                + jnp.mean(v ** 2) + 1e-3 * jnp.mean(f ** 2))
+
+    gr1 = jax.grad(loss)(params, sdf_value_feat_grad)
+    gr2 = jax.grad(loss)(params, sdf_value_feat_grad_fwd)
+    for a, b in zip(jax.tree_util.tree_leaves(gr1),
+                    jax.tree_util.tree_leaves(gr2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_sdf_second_order_differentiable():
     """Eikonal-style loss must be differentiable through the gradient."""
     cfg = SDFConfig()
