@@ -49,11 +49,12 @@ def make_dp_stage1_step(cfg: Stage1Config, tx, mesh: Mesh,
     (tp-sharded hidden dims optional)."""
     batch_sharding = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
-    if getattr(cfg, "upsample_pallas", False):
+    if getattr(cfg, "upsample_pallas", False) or \
+            getattr(cfg, "normals_mode", "vjp") == "pallas":
         # pallas_call is not auto-partitionable under pjit; keep the dp
-        # path on plain XLA evaluators
+        # path on plain XLA evaluators (vjp normals)
         import dataclasses as _dc
-        cfg = _dc.replace(cfg, upsample_pallas=False)
+        cfg = _dc.replace(cfg, upsample_pallas=False, normals_mode="vjp")
 
     def step_fn(params, opt_state, batch, step, key):
         from iron_tpu.train.schedules import cos_anneal_ratio
@@ -193,9 +194,10 @@ def make_dp_stage1_render(cfg: Stage1Config, mesh: Mesh) -> Callable:
     """
     from iron_tpu.train.stage1 import stage1_render_color_normal
 
-    if getattr(cfg, "upsample_pallas", False):
+    if getattr(cfg, "upsample_pallas", False) or \
+            getattr(cfg, "normals_mode", "vjp") == "pallas":
         import dataclasses as _dc
-        cfg = _dc.replace(cfg, upsample_pallas=False)
+        cfg = _dc.replace(cfg, upsample_pallas=False, normals_mode="vjp")
     sh = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
     render = lambda params, rays_o, rays_d: stage1_render_color_normal(

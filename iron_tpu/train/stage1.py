@@ -80,10 +80,14 @@ class Stage1Config:
     occupancy_update_every: int = 256
     # how render_core computes per-point normals (fields.sdf):
     #   'vjp' — one reverse sweep (reference semantics, fields.py:106-137);
-    #   'jvp' — 3 structured forward-mode tangents, so the loss backward
-    #   differentiates a forward-mode graph instead of the second-order
-    #   double-vjp graph (SURVEY §7.4.2; A/B on chip in
-    #   scripts/bench_stage1_normals.py).  Both are exact.
+    #   'jvp' — 3 structured forward-mode tangents (measured 33% SLOWER on
+    #   chip, BENCH_NOTES round-4 — kept as the documented negative result);
+    #   'pallas' — the fused differentiable kernel
+    #   (kernels/fused_sdf_grad.py): forward + reverse-grad sweep in one
+    #   VMEM-resident Pallas call with a hand-derived second-order backward
+    #   kernel, eliminating the HBM round-trips of the [B*S,256] activation
+    #   chain.  All three are exact (tests/test_fields.py,
+    #   tests/test_kernels.py); 'pallas' falls back to 'vjp' off-TPU.
     normals_mode: str = "vjp"
     # rematerialize the differentiable SDF/color applies in render_core:
     # the second-order eikonal graph otherwise retains [B, S, 256]
@@ -130,6 +134,10 @@ def stage1_render(params: Dict, cfg: Stage1Config, rays_o, rays_d, near, far,
     if cfg.normals_mode == "jvp":
         from iron_tpu.fields.sdf import sdf_value_feat_grad_fwd
         sdf_all_fn = lambda p: sdf_value_feat_grad_fwd(params["sdf"], p, core_cfg)
+    elif cfg.normals_mode == "pallas" and pallas_available():
+        from iron_tpu.kernels.fused_sdf_grad import make_fused_sdf_grad_fn
+        fused = make_fused_sdf_grad_fn(core_cfg, precision=cfg.core_precision)
+        sdf_all_fn = lambda p: fused(params["sdf"], p)
     else:
         sdf_all_fn = lambda p: sdf_value_feat_grad(params["sdf"], p, core_cfg)
     color_fn = lambda pts, grads, dirs, feat: rendering_apply(
