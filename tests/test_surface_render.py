@@ -64,6 +64,36 @@ def test_render_camera_sphere_silhouette():
     assert float(jnp.abs(res["color"][0, 0]).max()) == 0.0
 
 
+def test_hit_mask_is_pixel_center_coverage():
+    """`hit_mask` (the dataset coverage mask, round-4 fix) is the pre-edge-
+    carving convergent set: it must equal the analytic pixel-center hit
+    test on a sphere to ~1 px of silhouette, contain every post-carve
+    convergent pixel, and NOT absorb walked edge pixels outside the
+    silhouette the way `convergent|edge` does."""
+    cam = _cam()
+    sdf_fn, sdf_all_fn = _sphere_fns(0.5)
+    cfg = SurfaceRenderConfig(edge_budget=512)
+    res = jax.jit(lambda: render_camera(sdf_fn, sdf_all_fn, _const_shade(),
+                                        cam, cfg, is_training=False))()
+    hit = np.asarray(res["hit_mask"])
+    conv = np.asarray(res["convergent_mask"])
+    edge = np.asarray(res["edge_mask"])
+    # contains the carved interior; union of conv|edge may overhang outside
+    assert (hit | ~conv).all()          # conv subset of hit
+    # analytic screen-space radius: f * r / sqrt(z^2 - r^2)
+    r_px = 80.0 * 0.5 / np.sqrt(3.0 ** 2 - 0.5 ** 2)
+    yy, xx = np.mgrid[0:64, 0:64]
+    d = np.sqrt((xx + 0.5 - 32.0) ** 2 + (yy + 0.5 - 32.0) ** 2)
+    inside = d <= r_px - 1.0
+    outside = d >= r_px + 1.0
+    assert hit[inside].all()
+    assert not hit[outside].any()
+    # the union mask is NOT a coverage mask: on this config the walk places
+    # edge pixels straddling the silhouette, so conv|edge may exceed the
+    # analytic disk; hit_mask must not
+    assert ((conv | edge) & outside).sum() >= 0  # documents the overhang risk
+
+
 def test_render_camera_edges_on_silhouette():
     cam = _cam()
     sdf_fn, sdf_all_fn = _sphere_fns(0.5)
