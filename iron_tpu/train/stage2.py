@@ -82,6 +82,12 @@ class Stage2Config:
     # ~1.5x faster (weights + activations stay in VMEM).  Disabled on the
     # vmapped dp path (dist/train.py) alongside the interior budget.
     coarse_pallas: bool = True
+    # run the DIFFERENTIABLE shading-path sdf_all through the fused
+    # second-order kernel (kernels/fused_sdf_grad.py) on TPU.  Exact
+    # (tests/test_kernels.py); the shading share of the stage-2 step is
+    # small (~12%, BENCH_NOTES), so this is off by default pending an
+    # on-chip win measurement.
+    shade_pallas: bool = False
     surface: SurfaceRenderConfig = field(default_factory=SurfaceRenderConfig)
     sdf: SDFConfig = field(default_factory=SDFConfig)
     save_freq: int = 1000
@@ -152,6 +158,13 @@ def build_stage2_fns(params, mat_cfgs, cfg: Stage2Config) -> Dict:
         "coarse_sdf_fn": None,
         "coarse_march_fn": None,
     }
+    if cfg.shade_pallas:
+        from iron_tpu.kernels.fused_sdf import pallas_available
+        if pallas_available():
+            from iron_tpu.kernels.fused_sdf_grad import make_fused_sdf_grad_fn
+            fused = make_fused_sdf_grad_fn(cfg.sdf,
+                                           precision=cfg.sdf.precision)
+            out["sdf_all_fn"] = lambda p: fused(params["sdf"], p)
     trace_cfg = _dc.replace(cfg.sdf, precision=cfg.trace_precision)
     out["trace_sdf_fn"] = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     out["trace_sdf_all_fn"] = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)

@@ -24,6 +24,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: stage-1/2 step programs take minutes to
+# compile through the remote-compile tunnel; cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     p = argparse.ArgumentParser()

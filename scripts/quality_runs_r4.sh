@@ -13,7 +13,7 @@ run_scene () {
     --scene $scene --rig $rig --res 256 --independent_gt \
     --stage1_iters 100000 --stage2_iters 50000 \
     --n_samples 64 --n_importance 64 \
-    --out_dir exp_quality_r4_${scene} 2>&1 | grep -v WARNING
+    --out_dir exp_quality_r4_${scene} 2>&1 | stdbuf -oL grep -v WARNING
   cp exp_quality_r4_${scene}/report.json results/quality_${scene}_r4_independent.json || true
   cp exp_quality_r4_${scene}/testviews.png results/quality_${scene}_r4_testviews.png || true
 }
