@@ -122,21 +122,37 @@ def main():
                                 n_importance=args.n_importance, n_outside=0,
                                 up_sample_steps=4, perturb=1.0))
     t0 = time.time()
-    s1 = Stage1Trainer(s1_cfg, ds)
-    m1 = s1.run(num_iters=args.stage1_iters, log_every=max(args.stage1_iters // 5, 1))
+    # checkpoint + resume inside the run dir: a wedged device session (the
+    # axon tunnel can stall a stream mid-run) costs at most one save
+    # interval after a retry, not the whole stage
+    s1 = Stage1Trainer(s1_cfg, ds, out_dir=os.path.join(args.out_dir, "stage1"))
+    start1 = s1.resume()
+    if start1:
+        print(f"[stage1] resumed at {start1}", flush=True)
+    m1 = s1.run(num_iters=args.stage1_iters - start1,
+                log_every=max(args.stage1_iters // 10, 1))
+    s1.wait_for_saves()
     report["stage1"] = {**m1, "wall_s": time.time() - t0,
-                        "iters_per_s": args.stage1_iters / (time.time() - t0)}
+                        "iters_per_s": (args.stage1_iters - start1)
+                        / max(time.time() - t0, 1e-9),
+                        "resumed_at": start1}
     print(f"[stage1] {report['stage1']}", flush=True)
 
     # ---- stage 2 ----
     s2_cfg = Stage2Config(
         renderer_name="ggx", patch_size=min(args.res, 128),
         num_iters=args.stage2_iters,
-        surface=SurfaceRenderConfig(edge_budget=1024), save_freq=10 ** 9)
+        surface=SurfaceRenderConfig(edge_budget=1024), save_freq=5000)
     t0 = time.time()
     s2 = Stage2Trainer(s2_cfg, data["images"][train_idx], data["Ks"][train_idx],
-                       data["W2Cs"][train_idx], stage1_params=s1.params)
-    m2 = s2.run(num_iters=args.stage2_iters, log_every=max(args.stage2_iters // 5, 1))
+                       data["W2Cs"][train_idx], stage1_params=s1.params,
+                       out_dir=os.path.join(args.out_dir, "stage2"))
+    start2 = s2.resume()
+    if start2:
+        print(f"[stage2] resumed at {start2}", flush=True)
+    m2 = s2.run(num_iters=args.stage2_iters - start2,
+                log_every=max(args.stage2_iters // 10, 1))
+    s2.wait_for_saves()
     report["stage2"] = {**m2, "wall_s": time.time() - t0,
                         "rays_per_s": args.stage2_iters * s2_cfg.patch_size ** 2
                         / (time.time() - t0)}
