@@ -63,6 +63,14 @@ class Stage2Config:
     init_light_scale: float = 8.0
     sdf_lr: float = 1e-5
     use_env_light: bool = False
+    # optional per-group global-norm gradient clipping (0 = off, reference
+    # parity — the reference never clips).  Round-4 measurements: sdf grad
+    # norm ~1.2 at a converged torus state, ~1000 at cold start; the 35-40k
+    # torus collapse (chamfer 0.045 -> 0.27 in one 5k window, ROUND_LOG
+    # round 4) motivated the knob, with the resume experiment
+    # (scripts/torus_resume_experiment.py) measuring whether clipping
+    # changes the outcome.
+    grad_clip: float = 0.0
     # matmul precision for the stop-gradient trace/walk paths; training
     # forwards stay at cfg.sdf.precision ('highest').  'high' (bf16x3) is
     # ~30% faster with ~2e-4 SDF error — well under a pixel footprint.
@@ -108,8 +116,15 @@ def make_optimizer(cfg: Stage2Config, params, trainable: Optional[Dict[str, bool
     """Per-group Adams via multi_transform; `trainable` freezes groups
     (model_bed.py:897-907 component_switch)."""
     lrs = material_lr_map(cfg.renderer_name)
-    txs = {"sdf": optax.adam(cfg.sdf_lr)}
-    txs.update({f"mat/{k}": optax.adam(lr) for k, lr in lrs.items()})
+
+    def adam(lr):
+        if cfg.grad_clip and cfg.grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                               optax.adam(lr))
+        return optax.adam(lr)
+
+    txs = {"sdf": adam(cfg.sdf_lr)}
+    txs.update({f"mat/{k}": adam(lr) for k, lr in lrs.items()})
     txs["frozen"] = optax.set_to_zero()
 
     sdf_on = trainable is None or trainable.get("sdf", True)
