@@ -205,6 +205,30 @@ def main():
         lambda p: -sdf_only(s2.params["sdf"], p, s2_cfg.sdf), resolution=128)
     rec_verts, rec_tris = largest_component(rec_verts, rec_tris)
     report["chamfer"] = chamfer_distance(rec_verts, rec_tris, gt_verts, gt_tris)
+    # geometry trajectory: stage-1 final + every stage-2 checkpoint (the
+    # round-4 torus collapse was only visible in this curve — a single
+    # end-of-schedule chamfer can hide a mid-run catastrophe)
+    import glob as _glob
+    import pickle as _pickle
+
+    def _chamfer_of(params_sdf):
+        v, t = extract_geometry(lambda p: -sdf_only(params_sdf, p, s2_cfg.sdf),
+                                resolution=128)
+        v, t = largest_component(v, t)
+        return {"verts": int(len(v)),
+                "chamfer": chamfer_distance(v, t, gt_verts, gt_tris)}
+
+    traj = {}
+    s1_cks = sorted(_glob.glob(os.path.join(args.out_dir, "stage1", "ckpt_*.pkl")))
+    if s1_cks:
+        ck = _pickle.load(open(s1_cks[-1], "rb"))
+        traj["stage1_final"] = _chamfer_of(ck["params"]["sdf"])
+    for pth in sorted(_glob.glob(os.path.join(args.out_dir, "stage2", "ckpt_*.pkl"))):
+        ck = _pickle.load(open(pth, "rb"))
+        step = os.path.basename(pth).split("_")[-1].split(".")[0]
+        traj[f"stage2_{int(step)}"] = _chamfer_of(ck["params"]["sdf"])
+    report["chamfer_trajectory"] = traj
+    print(f"[geometry] trajectory {traj}", flush=True)
     # persist the recovered mesh + final params so failures are inspectable
     # post-hoc (genus, hole membranes, ...)
     from iron_tpu.export.mesh import write_obj
