@@ -46,6 +46,10 @@ def main(argv=None):
                    help="do not export mesh+materials after training")
     p.add_argument("--render_all", action="store_true")
     p.add_argument("--use_mask", action="store_true")
+    p.add_argument("--silhouette_weight", type=float, default=0.0,
+                   help="IDR-style silhouette counterweight to the masked-"
+                        "loss shrink bias (needs --use_mask; 0 = reference "
+                        "parity, the reference has no stage-2 mask loss)")
     p.add_argument("--plot_image_name", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sync_ckpt", action="store_true",
@@ -80,7 +84,10 @@ def main(argv=None):
         inv_gamma_gt=args.inv_gamma_gt,
         init_light_scale=args.init_light_scale,
         async_ckpt=not args.sync_ckpt,
+        silhouette_weight=args.silhouette_weight,
         surface=SurfaceRenderConfig(handle_edges=not args.no_edgesample))
+    if args.silhouette_weight > 0 and not args.use_mask:
+        p.error("--silhouette_weight requires --use_mask (dataset masks)")
 
     stage1_params = None
     ck = load_any_checkpoint(args.neus_ckpt_fpath) if args.neus_ckpt_fpath else None
@@ -94,7 +101,8 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, sdf=SDFConfig(**sdf_conf))
 
     trainer = Stage2Trainer(cfg, images, Ks, W2Cs, out_dir=args.out_dir,
-                            stage1_params=stage1_params)
+                            stage1_params=stage1_params,
+                            masks=masks if args.use_mask else None)
     start = trainer.resume()
     print(f"[stage2] resume step {start}, light="
           f"{float(trainer.params['materials']['point_light_network']['light']):.2f}")

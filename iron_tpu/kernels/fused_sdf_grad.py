@@ -290,11 +290,15 @@ def _bwd_kernel(cfg: SDFConfig, n_mats: int, skip_idx: int, prec,
     # d d1_c/dx_k = d2_c * scale * delta(c_idx=k)
     bar_a0cot = jnp.zeros((t, _PE_WIDTH), jnp.float32)
     dx = jnp.zeros((t, cfg.d_in), jnp.float32)
+    # column writes via one-hot masks: Mosaic has no scatter-add lowering,
+    # so `.at[:, j:j+1].add` raises on real TPU (interpret mode hides it)
+    col_1h = [(jax.lax.broadcasted_iota(jnp.int32, (1, cfg.d_in), 1) == j
+               ).astype(jnp.float32) for j in range(cfg.d_in)]
     for j in range(cfg.d_in):
         dgj = dg[:, j:j + 1]
         bar_a0cot = bar_a0cot + dgj * d1 * sel[j]
-        dx = dx.at[:, j:j + 1].add(
-            jnp.sum(dgj * a0cot * d2 * sel[j], axis=-1, keepdims=True) * scale)
+        dx = dx + jnp.sum(dgj * a0cot * d2 * sel[j], axis=-1,
+                          keepdims=True) * scale * col_1h[j]
 
     bar_z = [jnp.zeros_like(z) for z in z_list]
     bar_z[n_layers - 1] = dvf
@@ -349,8 +353,8 @@ def _bwd_kernel(cfg: SDFConfig, n_mats: int, skip_idx: int, prec,
 
     # ---- a_0 -> x  (a0 = PE(x*scale): dPE_c/dx_j = d1_c * scale * sel_j) ----
     for j in range(cfg.d_in):
-        dx = dx.at[:, j:j + 1].add(
-            jnp.sum(bar_a0_total * d1 * sel[j], axis=-1, keepdims=True) * scale)
+        dx = dx + jnp.sum(bar_a0_total * d1 * sel[j], axis=-1,
+                          keepdims=True) * scale * col_1h[j]
 
     # ---- write outputs; dW/db accumulate across the sequential grid ----
     first = pl.program_id(0) == 0
@@ -384,8 +388,13 @@ def make_fused_sdf_grad_fn(cfg: SDFConfig = SDFConfig(), tile: int = 256,
     """Returns fn(params, x [..., 3]) -> (sdf [...], feat [..., 256],
     grad [..., 3]), differentiable (second order) via the fused Pallas
     kernels.  Drop-in for fields.sdf.sdf_value_feat_grad."""
+    # Mosaic's in-kernel dot_general supports only DEFAULT and HIGHEST
+    # (no bf16x3 pass count — lowering raises "Unsupported dot precision:
+    # HIGH" on real TPU; interpret-mode tests on CPU never hit this).
+    # 'high' therefore maps UP to HIGHEST inside the kernel: callers
+    # asking for the bf16x3 class get the more accurate f32 path.
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
 
     @functools.partial(jax.custom_vjp)
@@ -451,6 +460,10 @@ def make_fused_sdf_grad_fn(cfg: SDFConfig = SDFConfig(), tile: int = 256,
         dgp = jnp.zeros((n, 128), jnp.float32)
         dgp = dgp.at[:, :cfg.d_in].set(dgrad)  # grad carries no scale factor
 
+        # The backward kernel re-runs the forward + u-chain AND holds the
+        # bar_z/bar_u adjoint chains per tile: ~34 MB VMEM stack at tile
+        # 256 (measured on-chip) — above Mosaic's default 16 MB scoped
+        # budget, within the raised per-kernel limit set below.
         t = min(tile, max(128, -(-n // 128) * 128))
         pad = (-n) % t
         xp = jnp.pad(xf, ((0, pad), (0, 0)))
@@ -479,6 +492,13 @@ def make_fused_sdf_grad_fn(cfg: SDFConfig = SDFConfig(), tile: int = 256,
                         for i in _layer_mat_indices(n_mats, skip_idx)]
                      + [jax.ShapeDtypeStruct((xp.shape[0], 128), jnp.float32)])
         flops_row = 10 * sum(int(w.shape[0]) * int(w.shape[1]) for w in mats)
+        # The bwd kernel's t-INDEPENDENT live set (weight panels + dW
+        # accumulators + per-layer adjoint chains) alone exceeds Mosaic's
+        # default 16 MB scoped-VMEM budget (measured on-chip: 21.45 MB at
+        # tile 64) — raise the per-kernel limit; v5e has 128 MB physical.
+        ckw = {} if interpret else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)}
         outs = pl.pallas_call(
             kern, grid=grid, in_specs=in_specs, out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
@@ -486,7 +506,7 @@ def make_fused_sdf_grad_fn(cfg: SDFConfig = SDFConfig(), tile: int = 256,
                 flops=flops_row * xp.shape[0],
                 bytes_accessed=xp.shape[0] * (3 + _OUT_PAD + 2 * 128) * 4,
                 transcendentals=xp.shape[0] * 4 * len(mats) * cfg.d_hidden),
-            interpret=interpret,
+            interpret=interpret, **ckw,
         )(xp, dvfp, dgpp, *mats, *biases)
         dWs = list(outs[:n_mats])
         dbs = list(outs[n_mats:n_mats + n_b])

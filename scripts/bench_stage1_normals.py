@@ -60,9 +60,13 @@ if __name__ == "__main__":
     p.add_argument("--bg", action="store_true", help="include bg NeRF")
     p.add_argument("--spc", type=int, nargs="+", default=[16, 1],
                    help="steps_per_call values (scan vs per-step dispatch)")
+    p.add_argument("--modes", nargs="+", default=["vjp", "jvp"],
+                   choices=["vjp", "jvp", "pallas"],
+                   help="normals modes to A/B ('pallas' = the fused "
+                        "second-order kernel, kernels/fused_sdf_grad.py)")
     args = p.parse_args()
     for batch in args.batches:
-        for mode in ("vjp", "jvp"):
+        for mode in args.modes:
             for spc in args.spc:
                 bench(batch, mode, train_iters=args.iters if spc == args.spc[0] else 0,
                       bg=args.bg, spc=spc)

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--res", type=int, default=128)
     p.add_argument("--n_samples", type=int, default=48)
     p.add_argument("--n_importance", type=int, default=48)
+    p.add_argument("--silhouette_weight", type=float, default=0.0,
+                   help="stage-2 IDR-style silhouette counterweight to the "
+                        "masked-loss shrink bias (Stage2Config."
+                        "silhouette_weight; 0 = reference parity)")
     p.add_argument("--independent_gt", action="store_true",
                    help="train + evaluate against the INDEPENDENT ground-"
                         "truth renderer (native BVH + numpy Mitsuba GGX, "
@@ -142,10 +146,12 @@ def main():
     s2_cfg = Stage2Config(
         renderer_name="ggx", patch_size=min(args.res, 128),
         num_iters=args.stage2_iters,
+        silhouette_weight=args.silhouette_weight,
         surface=SurfaceRenderConfig(edge_budget=1024), save_freq=5000)
     t0 = time.time()
     s2 = Stage2Trainer(s2_cfg, data["images"][train_idx], data["Ks"][train_idx],
                        data["W2Cs"][train_idx], stage1_params=s1.params,
+                       masks=data["masks"][train_idx],
                        out_dir=os.path.join(args.out_dir, "stage2"))
     start2 = s2.resume()
     if start2:
