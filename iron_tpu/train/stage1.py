@@ -88,7 +88,9 @@ class Stage1Config:
     #   kernel, eliminating the HBM round-trips of the [B*S,256] activation
     #   chain.  All three are exact (tests/test_fields.py,
     #   tests/test_kernels.py); 'pallas' falls back to 'vjp' off-TPU.
-    normals_mode: str = "vjp"
+    #   Round-5 on-chip A/B (scripts/bench_stage1_normals.py, v5e, batch
+    #   512): pallas 24.2 it/s vs vjp 19.7 — +23%, now the default.
+    normals_mode: str = "pallas"
     # rematerialize the differentiable SDF/color applies in render_core:
     # the second-order eikonal graph otherwise retains [B, S, 256]
     # activations for BOTH sweeps of the double backward (41 GB of HLO

@@ -21,6 +21,7 @@ reuses one compiled program.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -93,9 +94,11 @@ class Stage2Config:
     # run the DIFFERENTIABLE shading-path sdf_all through the fused
     # second-order kernel (kernels/fused_sdf_grad.py) on TPU.  Exact
     # (tests/test_kernels.py); the shading share of the stage-2 step is
-    # small (~12%, BENCH_NOTES), so this is off by default pending an
-    # on-chip win measurement.
-    shade_pallas: bool = False
+    # small (~12%, BENCH_NOTES), so the win is modest: round-5 on-chip A/B
+    # (scripts/bench_shade_pallas.py, v5e) 360.3k vs 354.4k rays/s
+    # (+1.6%, within tunnel variance but consistently non-regressing) —
+    # on by default; no-op off-TPU (pallas_available() gate).
+    shade_pallas: bool = True
     # IDR-style differentiable silhouette loss (Yariv et al. 2020 eq. 6) as
     # the counterweight to the masked-loss shrink bias (ROUND_LOG round 4:
     # image losses are masked to the render's own coverage, so locally
@@ -222,24 +225,37 @@ def build_stage2_fns(params, mat_cfgs, cfg: Stage2Config) -> Dict:
     return out
 
 
-def _silhouette_term(f, res, cfg: Stage2Config, gt_mask: jnp.ndarray):
+def _mask_disagreement(res, gt_mask: jnp.ndarray):
+    """Cheap shrink-force diagnostics from the hit/GT masks alone:
+    (miss, excess, sphere-hit mask, per-ray [min,max] sphere span).
+    miss = GT-covered pixels the render lost; excess = render coverage
+    beyond the GT mask."""
+    from iron_tpu.core.rays import intersect_sphere
+
+    hit = res["hit_mask"]
+    gt = gt_mask > 0.5
+    sph, min_dis, max_dis = intersect_sphere(res["ray_o"], res["ray_d"], r=1.0)
+    miss = gt & ~hit & sph
+    excess = hit & ~gt
+    return miss, excess, min_dis, max_dis
+
+
+def _silhouette_term(f, res, cfg: Stage2Config, gt_mask: jnp.ndarray,
+                     miss: jnp.ndarray, excess: jnp.ndarray,
+                     min_dis: jnp.ndarray, max_dis: jnp.ndarray):
     """Differentiable silhouette loss over mask/coverage disagreements.
 
-    gt_mask [H, W] (float or bool).  Returns (loss, miss_count,
-    excess_count).  x* (the along-ray argmin of f for misses, the hit
-    point for excess pixels) is found under stop_gradient at trace
-    precision; only the single f(x*) eval carries gradients — the IDR
-    formulation (Yariv et al. 2020), budget-capped like the edge pipeline.
+    gt_mask [H, W] (float or bool).  Returns the loss.  x* (the along-ray
+    argmin of f for misses, the hit point for excess pixels) is found
+    under stop_gradient at trace precision; only the single f(x*) eval
+    carries gradients — the IDR formulation (Yariv et al. 2020),
+    budget-capped like the edge pipeline.
     """
-    from iron_tpu.core.rays import intersect_sphere
     from iron_tpu.surface.render import _select_topk_mask
 
     hit = res["hit_mask"]
     gt = gt_mask > 0.5
     ray_o, ray_d = res["ray_o"], res["ray_d"]
-    sph, min_dis, max_dis = intersect_sphere(ray_o, ray_d, r=1.0)
-    miss = gt & ~hit & sph
-    excess = hit & ~gt
     disagree = miss | excess
     n_miss = jnp.sum(miss.astype(jnp.float32))
     n_excess = jnp.sum(excess.astype(jnp.float32))
@@ -283,7 +299,7 @@ def _silhouette_term(f, res, cfg: Stage2Config, gt_mask: jnp.ndarray):
     loss = jnp.sum(jnp.where(valid, bce, 0.0)) / n
     # exactly zero (not just small) when coverage matches the mask
     loss = loss * (n_miss + n_excess > 0).astype(jnp.float32)
-    return loss, n_miss, n_excess
+    return loss
 
 
 def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
@@ -335,9 +351,18 @@ def stage2_loss(params, mat_cfgs, cfg: Stage2Config, cam: Camera,
 
     sil = None
     if gt_mask is not None:
-        sil, n_miss, n_excess = _silhouette_term(f, res, cfg, gt_mask)
+        # miss/excess counts come straight from the hit/GT masks (nearly
+        # free); the budgeted SDF sweep + BCE eval only runs when the
+        # counterweight is actually in the loss (ADVICE r4 item 1)
+        miss, excess, min_dis, max_dis = _mask_disagreement(res, gt_mask)
+        n_miss = jnp.sum(miss.astype(jnp.float32))
+        n_excess = jnp.sum(excess.astype(jnp.float32))
         if cfg.silhouette_weight > 0:
+            sil = _silhouette_term(f, res, cfg, gt_mask, miss, excess,
+                                   min_dis, max_dis)
             loss = loss + cfg.silhouette_weight * sil
+        else:
+            sil = jnp.zeros(())
 
     metrics = {"loss": loss, "img_loss": img_loss, "img_l2_loss": img_l2,
                "img_ssim_loss": img_ssim, "eik_loss": eik, "roughrange_loss": rough,
@@ -406,6 +431,10 @@ class Stage2Trainer:
             m = np.asarray(masks, np.float32)
             if m.ndim == 4:
                 m = m[..., 0]
+            if m.shape[:3] != np.asarray(images).shape[:3]:
+                raise ValueError(
+                    f"masks shape {m.shape[:3]} does not match images "
+                    f"{np.asarray(images).shape[:3]} (N, H, W must agree)")
             self.masks = jnp.asarray(m)
         else:
             if cfg.silhouette_weight > 0:
@@ -434,6 +463,14 @@ class Stage2Trainer:
         self.tx = make_optimizer(cfg, self.params, trainable)
         self.opt_state = self.tx.init(self.params)
         self.step = 0
+        # validation-driven model selection (VERDICT r4 item 8): run(...,
+        # val_fn=...) tracks the best validation metric and retains that
+        # checkpoint — the round-4 trajectories peaked mid-schedule
+        # (sphere chamfer 0.0283@20k vs 0.0425@50k), so end-of-schedule
+        # params are not the run's best model.
+        self.best_metric = float("-inf")
+        self.best_step: Optional[int] = None
+        self.val_history: list = []
 
         ps = cfg.patch_size
         mat_cfgs = self.mat_cfgs
@@ -523,8 +560,32 @@ class Stage2Trainer:
         if hasattr(self, "_async_ckptr"):
             self._async_ckptr.wait()
 
+    def _validate(self, val_fn) -> float:
+        """Run `val_fn(self)` (returns a float metric, higher = better, or a
+        dict with a 'metric' key plus extra fields to log); retain the
+        best-so-far params as <out_dir>/ckpt_best.pkl."""
+        rec = val_fn(self)
+        if not isinstance(rec, dict):
+            rec = {"metric": float(rec)}
+        metric = float(rec["metric"])
+        self.val_history.append({"step": self.step, **{k: float(v) for k, v in rec.items()}})
+        if metric > self.best_metric:
+            self.best_metric = metric
+            self.best_step = self.step
+            if self.out_dir:
+                import pickle
+                path = os.path.join(self.out_dir, "ckpt_best.pkl")
+                payload = {"params": jax.tree_util.tree_map(np.asarray, self.params),
+                           "opt_state": None, "step": int(self.step),
+                           "extra": {"val": rec}}
+                with open(path + ".tmp", "wb") as fh:
+                    pickle.dump(payload, fh, protocol=4)
+                os.replace(path + ".tmp", path)
+        return metric
+
     def run(self, num_iters: Optional[int] = None, log_every: int = 0,
-            seed: int = 0, steps_per_call: int = 1) -> Dict:
+            seed: int = 0, steps_per_call: int = 1,
+            val_fn=None, val_every: int = 0) -> Dict:
         """Train `num_iters` steps.
 
         steps_per_call=1 (default) dispatches the one-step program per
@@ -538,6 +599,8 @@ class Stage2Trainer:
         n = num_iters if num_iters is not None else (self.cfg.num_iters - self.step)
         key = jax.random.PRNGKey(seed + 1)
         metrics = {}
+        if val_fn is not None and not val_every:
+            val_every = self.cfg.save_freq
         if steps_per_call == 1:
             g = np.random.default_rng((seed + 1) * 1_000_003 + self.step)
             n_imgs = self.images.shape[0]
@@ -559,6 +622,8 @@ class Stage2Trainer:
                           " ".join(f"{k}={v:.4f}" for k, v in m.items()))
                 if self.out_dir and self.step % self.cfg.save_freq == 0:
                     self.save()
+                if val_fn is not None and self.step % val_every == 0:
+                    self._validate(val_fn)
             if metrics_dev is not None:
                 metrics = metrics_dev
             return {k: float(v) for k, v in metrics.items()}
@@ -570,6 +635,8 @@ class Stage2Trainer:
                 chunk = min(chunk, log_every - self.step % log_every)
             if self.out_dir:
                 chunk = min(chunk, self.cfg.save_freq - self.step % self.cfg.save_freq)
+            if val_fn is not None:
+                chunk = min(chunk, val_every - self.step % val_every)
             chunk = max(chunk, 1)
             self.params, self.opt_state, metrics = self._train_steps(
                 self.params, self.opt_state, sub, int(chunk))
@@ -581,6 +648,8 @@ class Stage2Trainer:
                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if self.out_dir and self.step % self.cfg.save_freq == 0:
                 self.save()
+            if val_fn is not None and self.step % val_every == 0:
+                self._validate(val_fn)
         return {k: float(v) for k, v in metrics.items()}
 
     def render_full(self, img_idx: int, factor: float = 1.0,

@@ -156,30 +156,95 @@ def main():
     start2 = s2.resume()
     if start2:
         print(f"[stage2] resumed at {start2}", flush=True)
+
+    # validation-driven model selection (VERDICT r4 item 8): held-out view
+    # PSNR at every checkpoint interval; the trainer retains the best
+    # params as stage2/ckpt_best.pkl.  Renders through a second trainer
+    # that holds ALL views (the training one only has train views).
+    import dataclasses as _dc
+    s2_val = Stage2Trainer(_dc.replace(s2_cfg, silhouette_weight=0.0),
+                           data["images"], data["Ks"], data["W2Cs"])
+    val_time = [0.0]
+
+    def val_fn(tr):
+        tv = time.time()
+        s2_val.params = tr.params
+        ps = []
+        for ti in test_idx:
+            r = s2_val.render_full(ti, factor=1.0, keys=("color",))
+            ps.append(psnr_np(np.clip(r["color"], 0, 1),
+                              np.clip(data["images"][ti], 0, 1)))
+        val_time[0] += time.time() - tv
+        out = {"metric": float(np.mean(ps))}
+        print(f"[val {tr.step}] heldout_psnr {out['metric']:.2f}", flush=True)
+        return out
+
     m2 = s2.run(num_iters=args.stage2_iters - start2,
-                log_every=max(args.stage2_iters // 10, 1))
+                log_every=max(args.stage2_iters // 10, 1),
+                val_fn=val_fn, val_every=5000)
     s2.wait_for_saves()
+    train_wall = time.time() - t0 - val_time[0]
     report["stage2"] = {**m2, "wall_s": time.time() - t0,
-                        "rays_per_s": args.stage2_iters * s2_cfg.patch_size ** 2
-                        / (time.time() - t0)}
+                        "val_wall_s": val_time[0],
+                        "rays_per_s": (args.stage2_iters - start2)
+                        * s2_cfg.patch_size ** 2 / max(train_wall, 1e-9)}
+    report["val_history"] = s2.val_history
+    report["best_step"] = s2.best_step
+    report["best_heldout_psnr"] = s2.best_metric if s2.val_history else None
     print(f"[stage2] {report['stage2']}", flush=True)
 
+    # ---- recovered geometry (needed below: materials are scored ON the
+    # recovered surface — that is where shading actually samples them, and
+    # where the reference bakes its texture maps) ----
+    rec_verts, rec_tris = extract_geometry(
+        lambda p: -sdf_only(s2.params["sdf"], p, s2_cfg.sdf), resolution=128)
+    rec_verts, rec_tris = largest_component(rec_verts, rec_tris)
+
+    # ---- material recovery (VERDICT r4 item 4) ----
+    # The synthetic GT materials are spatial constants (data/synthetic.py
+    # make_ggx_shade_fn defaults).  For a co-located flash the IDENTIFIABLE
+    # quantities are light x albedo products (any c>0 rescale of light with
+    # albedo/c renders identically), roughness, and albedo ratios; raw
+    # albedo/light rel_errs are reported for context only.
     light_rec = float(s2.params["materials"]["point_light_network"]["light"])
-    # For a co-located flash, light x albedo is the IDENTIFIABLE quantity
-    # (any c>0 rescale of light with albedo/c renders identically); the raw
-    # light rel_err is reported for context but is expected to be large.
     from iron_tpu.fields.sdf import sdf_value_feat_grad
     from iron_tpu.shading.materials import get_materials
-    surf = jnp.asarray(gt_verts[np.random.default_rng(0).choice(
-        len(gt_verts), size=min(4096, len(gt_verts)), replace=False)], jnp.float32)
-    _, feat, grad = sdf_value_feat_grad(s2.params["sdf"], surf, s2_cfg.sdf)
-    nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
-    mats = get_materials(s2.params["materials"], s2.mat_cfgs, surf, nrm, feat)
-    albedo_rec = np.asarray(jnp.mean(mats["diffuse_albedo"], axis=0))
-    albedo_gt = np.asarray([0.6, 0.3, 0.2])  # data generator's constant
-    prod_rel_err = float(np.mean(np.abs(light_rec * albedo_rec
-                                        - light_gt * albedo_gt)
-                                 / (light_gt * albedo_gt)))
+    d_gt = np.asarray([0.6, 0.3, 0.2])
+    s_gt = np.asarray([0.3, 0.3, 0.3])
+    r_gt = 0.2
+
+    def material_stats(verts):
+        surf = jnp.asarray(verts[np.random.default_rng(0).choice(
+            len(verts), size=min(4096, len(verts)), replace=False)], jnp.float32)
+        _, feat, grad = sdf_value_feat_grad(s2.params["sdf"], surf, s2_cfg.sdf)
+        nrm = grad / (jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-10)
+        mats = get_materials(s2.params["materials"], s2.mat_cfgs, surf, nrm, feat)
+        d = np.asarray(mats["diffuse_albedo"])
+        s = np.asarray(mats["specular_albedo"])
+        r = np.asarray(mats["specular_roughness"])
+        d_mean, s_mean, r_mean = d.mean(0), s.mean(0), float(r.mean())
+        rel = lambda a, b: float(np.mean(np.abs(a - b) / np.clip(np.abs(b), 1e-9, None)))
+        chroma = lambda v: v / max(np.sum(v), 1e-9)
+        return {
+            "diffuse_albedo_mean": d_mean.tolist(),
+            "specular_albedo_mean": s_mean.tolist(),
+            "roughness_mean": r_mean,
+            "roughness_std": float(r.std()),
+            "diffuse_albedo_spatial_std": float(d.std(0).mean()),
+            # identifiable metrics
+            "roughness_abs_err": abs(r_mean - r_gt),
+            "light_diffuse_product_rel_err": rel(light_rec * d_mean, light_gt * d_gt),
+            "light_specular_product_rel_err": rel(light_rec * s_mean, light_gt * s_gt),
+            "diffuse_chroma_l1": float(np.abs(chroma(d_mean) - chroma(d_gt)).sum()),
+            # context-only (scale-ambiguous)
+            "diffuse_albedo_rel_err": rel(d_mean, d_gt),
+            "specular_albedo_rel_err": rel(s_mean, s_gt),
+        }
+
+    report["materials"] = material_stats(rec_verts)
+    report["materials_at_gt_surface"] = material_stats(gt_verts)
+    print(f"[materials] {json.dumps(report['materials'])}", flush=True)
+    prod_rel_err = report["materials"]["light_diffuse_product_rel_err"]
     report["light"] = {"gt": light_gt, "recovered": light_rec,
                        "rel_err": abs(light_rec - light_gt) / light_gt,
                        "light_albedo_product_rel_err": prod_rel_err}
@@ -187,7 +252,7 @@ def main():
     # ---- held-out view quality ----
     psnrs, ssims = [], []
     full_ds_imgs = data["images"]
-    s2_all = Stage2Trainer(s2_cfg, data["images"], data["Ks"], data["W2Cs"])
+    s2_all = s2_val
     s2_all.params = s2.params
     mosaics = []
     for ti in test_idx:
@@ -207,9 +272,6 @@ def main():
           flush=True)
 
     # ---- geometry quality ----
-    rec_verts, rec_tris = extract_geometry(
-        lambda p: -sdf_only(s2.params["sdf"], p, s2_cfg.sdf), resolution=128)
-    rec_verts, rec_tris = largest_component(rec_verts, rec_tris)
     report["chamfer"] = chamfer_distance(rec_verts, rec_tris, gt_verts, gt_tris)
     # geometry trajectory: stage-1 final + every stage-2 checkpoint (the
     # round-4 torus collapse was only visible in this curve — a single
@@ -235,6 +297,18 @@ def main():
         traj[f"stage2_{int(step)}"] = _chamfer_of(ck["params"]["sdf"])
     report["chamfer_trajectory"] = traj
     print(f"[geometry] trajectory {traj}", flush=True)
+    # best-checkpoint row (VERDICT r4 item 8): the run's best model by
+    # held-out PSNR (selection rule: max val PSNR over 5k checkpoints,
+    # retained by Stage2Trainer as ckpt_best.pkl), with its chamfer
+    best_path = os.path.join(args.out_dir, "stage2", "ckpt_best.pkl")
+    if os.path.exists(best_path):
+        ck = _pickle.load(open(best_path, "rb"))
+        best = {"step": ck["step"],
+                "heldout_psnr": ck["extra"]["val"]["metric"],
+                **_chamfer_of(ck["params"]["sdf"]),
+                "selection_rule": "max held-out PSNR over 5k checkpoints"}
+        report["best"] = best
+        print(f"[best] {best}", flush=True)
     # persist the recovered mesh + final params so failures are inspectable
     # post-hoc (genus, hole membranes, ...)
     from iron_tpu.export.mesh import write_obj

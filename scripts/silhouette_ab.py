@@ -112,11 +112,14 @@ def main():
         if start2:
             print(f"[{arm}] resumed at {start2}", flush=True)
         traj = {}
-        t0 = time.time()
+        train_s = 0.0   # tr.run() wall only — the host-side chamfer/mesh
+        # extraction between checkpoints is excluded (ADVICE r4 item 2)
         while tr.step < args.stage2_iters:
             n = min(args.ckpt_every - tr.step % args.ckpt_every,
                     args.stage2_iters - tr.step)
+            t0 = time.time()
             m = tr.run(num_iters=n)
+            train_s += time.time() - t0
             rec = chamfer_of(tr.params["sdf"], cfg.sdf)
             rec["mask_miss"] = m.get("mask_miss_count")
             rec["mask_excess"] = m.get("mask_excess_count")
@@ -125,7 +128,7 @@ def main():
                   f"verts {rec['verts']} miss {rec['mask_miss']} "
                   f"excess {rec['mask_excess']}", flush=True)
         rays_s = (args.stage2_iters - start2) * cfg.patch_size ** 2 \
-            / max(time.time() - t0, 1e-9)
+            / max(train_s, 1e-9)
         report["arms"][arm] = {"trajectory": traj,
                                "rays_per_s": round(rays_s, 1)}
         with open(os.path.join(args.out_dir, "report.json"), "w") as f:

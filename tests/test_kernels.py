@@ -4,6 +4,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# whole-file slow tier: full-raytrace + kernel-parity sweeps dominate the
+# suite wall time (VERDICT r4 item 10); run with `pytest -m slow` / `-m ""`
+pytestmark = pytest.mark.slow
+
 from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_apply
 from iron_tpu.kernels.fused_sdf import make_pallas_sdf_fn
 

@@ -25,7 +25,8 @@ from iron_tpu.data.synthetic import ring_cameras, sphere_scene
 from iron_tpu.fields.sdf import SDFConfig, init_sdf, sdf_only, \
     sdf_value_feat_grad, sdf_grad
 from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
-from iron_tpu.train.stage2 import Stage2Config, _silhouette_term
+from iron_tpu.train.stage2 import (Stage2Config, _silhouette_term,
+                                   _mask_disagreement)
 
 R_TRUE = 0.5
 H = W = 64
@@ -62,7 +63,10 @@ def _fit(init_bias: float, iters: int = 80):
         res = render_camera(sdf_fn, sdf_all_fn, _white_shade, cam,
                             cfg.surface, is_training=True)
         f = {"sdf_fn": sdf_fn, "trace_sdf_fn": sdf_fn}
-        sil, n_miss, n_excess = _silhouette_term(f, res, cfg, gt_mask)
+        miss, excess, mn, mx = _mask_disagreement(res, gt_mask)
+        n_miss = jnp.sum(miss.astype(jnp.float32))
+        n_excess = jnp.sum(excess.astype(jnp.float32))
+        sil = _silhouette_term(f, res, cfg, gt_mask, miss, excess, mn, mx)
         eik_pts = jax.random.uniform(key, (512, 3), minval=-1, maxval=1)
         g = sdf_grad(params, eik_pts, sdf_cfg)
         eik = jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
@@ -128,6 +132,9 @@ def test_silhouette_term_zero_when_masks_agree():
     res = render_camera(sdf_fn, sdf_all_fn, _white_shade, cams[0], cfg.surface)
     gt = res["hit_mask"].astype(jnp.float32)
     f = {"sdf_fn": sdf_fn, "trace_sdf_fn": sdf_fn}
-    sil, n_miss, n_excess = _silhouette_term(f, res, cfg, gt)
+    miss, excess, mn, mx = _mask_disagreement(res, gt)
+    n_miss = jnp.sum(miss.astype(jnp.float32))
+    n_excess = jnp.sum(excess.astype(jnp.float32))
+    sil = _silhouette_term(f, res, cfg, gt, miss, excess, mn, mx)
     assert float(n_miss) == 0 and float(n_excess) == 0
     assert float(sil) == 0.0

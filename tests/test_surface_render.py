@@ -4,6 +4,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# whole-file slow tier: full-raytrace + kernel-parity sweeps dominate the
+# suite wall time (VERDICT r4 item 10); run with `pytest -m slow` / `-m ""`
+pytestmark = pytest.mark.slow
+
 from iron_tpu.core.camera import make_camera
 from iron_tpu.surface.render import SurfaceRenderConfig, render_camera
 from iron_tpu.surface.tracer import TracerConfig
