@@ -145,6 +145,32 @@ def torus_scene(R: float = 0.42, r: float = 0.18):
     return sdf_fn, sdf_all_fn
 
 
+def genus2_scene(R: float = 0.26, r: float = 0.13, sep: float = 0.26,
+                 k: float = 0.06):
+    """Genus-2 "pretzel": two overlapping tori in the xy-plane (hole axes
+    along z) welded by a polynomial smooth-min.  The hardest analytic
+    stand-in for the reference's dragon-class geometry: two handles,
+    concavities at the weld, and self-occlusion from most views.  smin
+    underestimates distance only inside the blend band, so sphere tracing
+    stays conservative (steps never overshoot)."""
+    def torus_xy(p, cx):
+        q0 = jnp.sqrt((p[..., 0] - cx) ** 2 + p[..., 1] ** 2) - R
+        return jnp.sqrt(q0 ** 2 + p[..., 2] ** 2) - r
+
+    def sdf_fn(p):
+        a = torus_xy(p, -sep)
+        b = torus_xy(p, sep)
+        h = jnp.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
+        return b + (a - b) * h - k * h * (1.0 - h)
+
+    def sdf_all_fn(p):
+        v, vjp_fn = jax.vjp(sdf_fn, p)
+        (g,) = vjp_fn(jnp.ones_like(v))
+        return v, jnp.zeros(p.shape[:-1] + (16,)), g
+
+    return sdf_fn, sdf_all_fn
+
+
 def make_ggx_shade_fn(light: float, diffuse_albedo=(0.6, 0.3, 0.2),
                       specular_albedo=0.3, roughness=0.2):
     da = jnp.asarray(diffuse_albedo)
@@ -176,7 +202,7 @@ def render_synthetic_dataset(scene: str = "sphere", n_views: int = 12,
     sphere — required to determine genus; for the torus pass
     rig_kwargs={"pole": "y"} so views look along the hole axis)."""
     makers = {"sphere": sphere_scene, "blobby": blobby_scene,
-              "torus": torus_scene}
+              "torus": torus_scene, "genus2": genus2_scene}
     sdf_fn, sdf_all_fn = makers[scene](**scene_kwargs)
     shade_fn = make_ggx_shade_fn(light)
     rig_fn = {"ring": ring_cameras, "hemisphere": hemisphere_cameras}[rig]

@@ -74,8 +74,24 @@ def torus_sdf_np(R: float = 0.42, r: float = 0.18) -> Callable:
     return f
 
 
+def genus2_sdf_np(R: float = 0.26, r: float = 0.13, sep: float = 0.26,
+                  k: float = 0.06) -> Callable:
+    """Genus-2 pretzel (two smooth-min-welded xy-plane tori, hole axes z) —
+    independent numpy re-statement of data/synthetic.py genus2_scene."""
+    def torus_xy(p, cx):
+        q0 = np.sqrt((p[..., 0] - cx) ** 2 + p[..., 1] ** 2) - R
+        return np.sqrt(q0 ** 2 + p[..., 2] ** 2) - r
+
+    def f(p):
+        a = torus_xy(p, -sep)
+        b = torus_xy(p, sep)
+        h = np.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
+        return b + (a - b) * h - k * h * (1.0 - h)
+    return f
+
+
 SCENES_NP = {"sphere": sphere_sdf_np, "blobby": blobby_sdf_np,
-             "torus": torus_sdf_np}
+             "torus": torus_sdf_np, "genus2": genus2_sdf_np}
 
 
 def sdf_normals_np(sdf_fn: Callable, pts: np.ndarray,

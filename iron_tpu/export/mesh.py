@@ -77,6 +77,74 @@ def largest_component(verts: np.ndarray, tris: np.ndarray
     return verts[used], remap[tris].astype(np.int32)
 
 
+def orient_faces(verts: np.ndarray, tris: np.ndarray,
+                 sdf_fn: Callable = None) -> np.ndarray:
+    """Make triangle winding consistent across each connected component,
+    then globally outward (positive enclosed volume; or, when `sdf_fn` is
+    given, normals pointing toward increasing SDF).
+
+    The native marching-tetrahedra emits per-tet triangles with
+    inconsistent winding (measured 56/44 outward/inward on a sphere),
+    which breaks any orientation consumer — normal-clustered UV charting,
+    exported .obj shading, signed volume.  BFS over edge-adjacency:
+    a shared edge must appear in OPPOSITE vertex order in its two faces.
+    """
+    tris = np.asarray(tris, np.int64).copy()
+    T = len(tris)
+    # directed-edge map: for each face, its 3 directed edges
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    face_of = np.tile(np.arange(T), 3)
+    und = np.sort(edges, axis=1)
+    order = np.lexsort((und[:, 1], und[:, 0]))
+    e_s, f_s, dir_s = und[order], face_of[order], (edges[:, 0] < edges[:, 1])[order]
+    same = np.all(e_s[1:] == e_s[:-1], axis=1)
+    # neighbor pairs + whether their shared edge runs in the same direction
+    pair_a, pair_b = f_s[:-1][same], f_s[1:][same]
+    same_dir = dir_s[:-1][same] == dir_s[1:][same]
+    adj = [[] for _ in range(T)]
+    for a, b, sd in zip(pair_a, pair_b, same_dir):
+        adj[a].append((b, sd))
+        adj[b].append((a, sd))
+
+    flip = np.zeros(T, bool)
+    seen = np.zeros(T, bool)
+    for seed in range(T):
+        if seen[seed]:
+            continue
+        seen[seed] = True
+        frontier = [seed]
+        while frontier:
+            nxt = []
+            for f in frontier:
+                for nb, sd in adj[f]:
+                    if not seen[nb]:
+                        seen[nb] = True
+                        # consistent orientation = shared edge in opposite
+                        # direction; same direction means exactly one of the
+                        # two faces must flip
+                        flip[nb] = flip[f] ^ sd
+                        nxt.append(nb)
+            frontier = nxt
+    tris[flip] = tris[flip][:, ::-1]
+
+    # global orientation: outward = positive signed volume
+    v = np.asarray(verts, np.float64)
+    p0, p1, p2 = v[tris[:, 0]], v[tris[:, 1]], v[tris[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", p0, np.cross(p1, p2))) / 6.0
+    if sdf_fn is not None:
+        fn = np.cross(p1 - p0, p2 - p0)
+        c = (p0 + p1 + p2) / 3.0
+        nn = fn / np.clip(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20, None)
+        h = 1e-3
+        d = np.asarray(sdf_fn((c + h * nn).astype(np.float32))) - \
+            np.asarray(sdf_fn((c - h * nn).astype(np.float32)))
+        if np.mean(d > 0) < 0.5:
+            tris = tris[:, ::-1]
+    elif vol < 0:
+        tris = tris[:, ::-1]
+    return tris
+
+
 def sample_mesh_points(verts: np.ndarray, tris: np.ndarray, n: int,
                        rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """Area-weighted surface sampling (export_materials.py:13-56 scheme)."""
@@ -133,6 +201,7 @@ def export_mesh(sdf_fn: Callable, mesh_fpath: str, resolution: int = 512,
         verts2 = (v_al @ vecs + mean).astype(np.float32)
         verts2, tris2 = largest_component(verts2, tris2)
 
+    tris2 = orient_faces(verts2, tris2)
     write_obj(mesh_fpath, verts2, tris2)
     return verts2, tris2
 

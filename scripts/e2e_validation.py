@@ -36,7 +36,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", default="./exp_e2e_validation")
     p.add_argument("--fast", action="store_true", help="tiny iteration counts")
-    p.add_argument("--scene", default="blobby", choices=["sphere", "blobby", "torus"])
+    p.add_argument("--scene", default="blobby", choices=["sphere", "blobby", "torus", "genus2"])
     p.add_argument("--rig", default="ring", choices=["ring", "hemisphere"],
                    help="camera rig; hemisphere is required for genus>0 scenes")
     p.add_argument("--stage1_iters", type=int, default=3000)

@@ -44,7 +44,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--run_dir", required=True)
     p.add_argument("--scene", default="sphere",
-                   choices=["sphere", "blobby", "torus"])
+                   choices=["sphere", "blobby", "torus", "genus2"])
     p.add_argument("--rig", default="ring", choices=["ring", "hemisphere"])
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--n_views", type=int, default=14)

@@ -36,7 +36,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", default="./exp_silhouette_ab")
     p.add_argument("--scene", default="sphere",
-                   choices=["sphere", "blobby", "torus"])
+                   choices=["sphere", "blobby", "torus", "genus2"])
     p.add_argument("--rig", default="ring", choices=["ring", "hemisphere"])
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--stage1_iters", type=int, default=15000)

@@ -111,3 +111,50 @@ def test_perceptual_distance_substitute():
     assert 0 < d_small < d_large
     # deterministic across calls
     assert perceptual_distance_np(base, 1 - base) == perceptual_distance_np(base, 1 - base)
+
+
+def test_smart_uv_unwrap_quality():
+    """Smart unwrap (VERDICT r4 missing #5): charts must pack several times
+    more texel-efficiently than the per-face grid atlas, stay inside the
+    unit square, and not overlap (rasterized collision check)."""
+    from iron_tpu.export.uv import (smart_uv_unwrap, grid_uv_unwrap,
+                                    packing_efficiency)
+    from iron_tpu.export.mesh import extract_geometry, largest_component
+    import jax.numpy as jnp
+
+    v, t = extract_geometry(lambda p: -(jnp.linalg.norm(p, axis=-1) - 0.5),
+                            resolution=48)
+    v, t = largest_component(v, t)
+    uvs, tuv = smart_uv_unwrap(v, t)
+    assert uvs.shape == (3 * len(t), 2)
+    assert uvs.min() >= 0.0 and uvs.max() <= 1.0
+
+    eff_smart = packing_efficiency(uvs, tuv)
+    g_uvs, g_tuv = grid_uv_unwrap(v, t)
+    eff_grid = packing_efficiency(g_uvs, g_tuv)
+    assert eff_smart > 0.35, eff_smart
+    assert eff_smart > 1.5 * eff_grid, (eff_smart, eff_grid)
+
+    # overlap check: rasterize triangle occupancy; overlapping charts would
+    # double-cover texels.  Allow a small tolerance for shared raster edges.
+    R = 512
+    cover = np.zeros((R, R), np.int32)
+    p = (uvs[tuv] * (R - 1)).astype(np.float64)   # [T, 3, 2]
+    for tri in p:
+        lo = np.floor(tri.min(0)).astype(int)
+        hi = np.ceil(tri.max(0)).astype(int) + 1
+        xs, ys = np.meshgrid(np.arange(lo[0], hi[0]), np.arange(lo[1], hi[1]))
+        pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float64) + 0.5
+        d = tri[1:] - tri[0]
+        det = d[0, 0] * d[1, 1] - d[0, 1] * d[1, 0]
+        if abs(det) < 1e-12:
+            continue
+        r = pts - tri[0]
+        a = (r[:, 0] * d[1, 1] - r[:, 1] * d[1, 0]) / det
+        b = (-r[:, 0] * d[0, 1] + r[:, 1] * d[0, 0]) / det
+        inside = (a > 0.02) & (b > 0.02) & (a + b < 0.98)
+        cover[pts[inside, 1].astype(int), pts[inside, 0].astype(int)] += 1
+    covered = (cover > 0).sum()
+    double = (cover > 1).sum()
+    assert covered > 0
+    assert double / covered < 0.01, (double, covered)
