@@ -31,11 +31,19 @@ def read_image(path: str, apply_exr_gamma: bool = True) -> np.ndarray:
     """Read an image as float32 RGB in [0,1] (EXR: linear, optional 1/2.2
     gamma matching dataset.py:53-58)."""
     if path.endswith(".exr"):
-        img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-        if img is None:
-            raise IOError(f"failed to read {path}")
-        if img.ndim == 3:
-            img = img[:, :, ::-1]
+        # built-in codec first: this image's cv2 ships no EXR support
+        # (imread/imwrite both fail), so data/exr.py carries the format
+        from iron_tpu.data.exr import read_exr
+        try:
+            img = read_exr(path)
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+        except Exception:
+            img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+            if img is None:
+                raise IOError(f"failed to read {path}")
+            if img.ndim == 3:
+                img = img[:, :, ::-1]
         img = img.astype(np.float32)
         if apply_exr_gamma:
             img = np.power(np.clip(img, 0, None) + 1e-6, 1.0 / 2.2)
@@ -54,7 +62,11 @@ def read_image(path: str, apply_exr_gamma: bool = True) -> np.ndarray:
 
 
 def write_image(path: str, img: np.ndarray) -> None:
-    """Write float [0,1] or uint8 RGB."""
+    """Write float [0,1] or uint8 RGB (.exr: linear float, built-in codec)."""
+    if path.endswith(".exr"):
+        from iron_tpu.data.exr import write_exr
+        write_exr(path, np.asarray(img, np.float32))
+        return
     if img.dtype != np.uint8:
         img = to8b(img)
     if img.ndim == 3:

@@ -33,9 +33,16 @@ def effective_weight(p: dict) -> jnp.ndarray:
     return p["w"]
 
 
-def apply_linear(p: dict, x: jnp.ndarray, precision=None) -> jnp.ndarray:
+def apply_linear(p: dict, x: jnp.ndarray, precision=None,
+                 dtype=None) -> jnp.ndarray:
+    """dtype=bfloat16 casts the (f32 weight-normed) effective weight and
+    bias so the matmul runs MXU-native bf16; pass x already cast."""
     w = effective_weight(p)
-    return jnp.dot(x, w, precision=precision) + p["b"]
+    b = p["b"]
+    if dtype is not None:
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    return jnp.dot(x, w, precision=precision) + b
 
 
 def torch_default_linear(key, d_in: int, d_out: int, weight_norm: bool = True) -> dict:

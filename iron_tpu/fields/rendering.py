@@ -39,6 +39,11 @@ class RenderingConfig:
     output_bias: float = 0.0
     output_scale: float = 1.0
     skip_in: Tuple[int, ...] = ()
+    # 'bfloat16' runs the MLP matmuls/activations in bf16 (weights cast
+    # per-layer after the f32 weight-norm; output cast back to f32) —
+    # MXU-native mixed precision for the stage-2 material sweep
+    # (Stage2Config.mat_bf16 / BENCH_NOTES roadmap 6).  None = f32.
+    compute_dtype: Optional[str] = None
 
     @property
     def d_input(self) -> int:
@@ -96,14 +101,20 @@ def rendering_apply(params: dict, cfg: RenderingConfig,
         raise ValueError(f"unknown mode {cfg.mode}")
 
     h = inp
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    if dt is not None:
+        h = h.astype(dt)
+        inp = inp.astype(dt)
     n_layers = len(cfg.dims)
     for l in range(n_layers - 1):
         if l in cfg.skip_in:
-            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2)
-        h = apply_linear(params["layers"][l], h)
+            h = jnp.concatenate([h, inp], axis=-1) / np.sqrt(2).astype(h.dtype)
+        h = apply_linear(params["layers"][l], h, dtype=dt)
         if l < n_layers - 2:
             h = jax.nn.relu(h)
 
+    if dt is not None:
+        h = h.astype(jnp.float32)
     h = cfg.output_scale * (h + cfg.output_bias)
     if cfg.squeeze_out:
         h = cfg.squeeze_out_scale * jax.nn.sigmoid(h)

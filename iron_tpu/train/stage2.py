@@ -99,6 +99,13 @@ class Stage2Config:
     # (+1.6%, within tunnel variance but consistently non-regressing) —
     # on by default; no-op off-TPU (pallas_available() gate).
     shade_pallas: bool = True
+    # run the stage-2 material-net sweeps (9 MLPs on the comp path) in
+    # bf16 with f32 weight-norm + f32 BRDF math (BENCH_NOTES roadmap 6).
+    # Exactness bound: bf16 activations carry ~3 decimal digits; albedo/
+    # roughness heads are smooth and sigmoid/abs-squashed, so the image
+    # error stays under ~1e-2 (tests/test_stage2_e2e.py bf16 check).
+    # Off by default pending the on-chip win measurement.
+    mat_bf16: bool = False
     # IDR-style differentiable silhouette loss (Yariv et al. 2020 eq. 6) as
     # the counterweight to the masked-loss shrink bias (ROUND_LOG round 4:
     # image losses are masked to the render's own coverage, so locally
@@ -219,8 +226,12 @@ def build_stage2_fns(params, mat_cfgs, cfg: Stage2Config) -> Dict:
         else:
             coarse_cfg = _dc.replace(cfg.sdf, precision=cfg.coarse_trace_precision)
             out["coarse_sdf_fn"] = lambda p: sdf_only(params["sdf"], p, coarse_cfg)
+    shade_cfgs = mat_cfgs
+    if cfg.mat_bf16:
+        shade_cfgs = {k: _dc.replace(v, compute_dtype="bfloat16")
+                      for k, v in mat_cfgs.items()}
     out["shade_fn"] = lambda ray_o, ray_d, pts, normals, feats: shade_points(
-        cfg.renderer_name, params["materials"], mat_cfgs, ray_o, ray_d, pts,
+        cfg.renderer_name, params["materials"], shade_cfgs, ray_o, ray_d, pts,
         normals, feats, is_metal=cfg.is_metal, use_env_light=cfg.use_env_light)
     return out
 

@@ -90,3 +90,36 @@ def test_stage2_component_freezing():
     assert all(np.array_equal(a, np.asarray(b)) for a, b in zip(sdf_before, sdf_after))
     assert all(np.array_equal(a, np.asarray(b)) for a, b in zip(rough_before, rough_after))
     assert any(not np.array_equal(a, np.asarray(b)) for a, b in zip(diff_before, diff_after))
+
+
+def test_mat_bf16_shading_close_to_f32():
+    """Stage2Config.mat_bf16 (bf16 material-net sweep, BENCH_NOTES roadmap
+    6) must stay within a small image tolerance of the f32 path and train
+    finitely."""
+    import dataclasses as dc
+    from iron_tpu.train.stage2 import build_stage2_fns
+    from iron_tpu.surface.render import render_camera
+    from iron_tpu.core.camera import make_camera
+
+    data = render_synthetic_dataset("sphere", n_views=2, H=48, W=48, light=30.0)
+    cfg = _small_cfg("comp", ps=32, edges=False)
+    params, mat_cfgs = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    params["materials"]["point_light_network"]["light"] = jnp.asarray(30.0)
+    cam = make_camera(np.asarray(data["Ks"][0]), np.asarray(data["W2Cs"][0]),
+                      48, 48)
+
+    imgs = {}
+    for bf16 in (False, True):
+        f = build_stage2_fns(params, mat_cfgs, dc.replace(cfg, mat_bf16=bf16))
+        res = render_camera(f["sdf_fn"], f["sdf_all_fn"], f["shade_fn"], cam,
+                            cfg.surface)
+        imgs[bf16] = np.asarray(res["color"])
+    d = np.abs(imgs[True] - imgs[False]).max()
+    assert d > 0            # bf16 actually engaged
+    assert d < 2e-2, d      # and stays within the documented bound
+
+    # one training step with mat_bf16 stays finite
+    tr = Stage2Trainer(dc.replace(cfg, mat_bf16=True), data["images"],
+                       data["Ks"], data["W2Cs"])
+    m = tr.run(num_iters=2)
+    assert np.isfinite(m["loss"])
