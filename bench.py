@@ -41,7 +41,12 @@ PEAK_TFLOPS = {
 PATCH = 128
 WARMUP = 8
 ITERS = 30
-WINDOWS = 3  # report the best window to suppress tunnel/host jitter
+# Best-of-5 windows: the tunnel + a 2-core host make single windows noisy
+# (recorded same-code spread 324k-486k, VERDICT r4 weak #6); best-of-N
+# suppresses host-side stalls and the median is reported alongside for a
+# jitter diagnostic.  Quiesce the host before benching — concurrent CPU
+# load depresses per-step dispatch by up to 2x (round-5 measurement).
+WINDOWS = 5
 MFU_TIME_BUDGET_S = 120  # diagnostics may never sink the primary metric
 
 
@@ -85,12 +90,14 @@ def main():
     tr.run(num_iters=WARMUP)
     jax.block_until_ready(tr.params)
 
-    best_dt = float("inf")
+    dts = []
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         tr.run(num_iters=ITERS)
         jax.block_until_ready(tr.params)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
+    best_dt = min(dts)
+    median_dt = sorted(dts)[len(dts) // 2]
 
     rays_per_step = PATCH * PATCH
     rays_per_s = rays_per_step * ITERS / best_dt
@@ -128,6 +135,7 @@ def main():
         # published numbers exist; BASELINE.md); the grounded measures are:
         "achieved_tflops": tflops,
         "mfu": mfu,
+        "median_rays_per_s": round(rays_per_step * ITERS / median_dt, 1),
         "baseline_is_estimate": True,
     }))
 

@@ -181,7 +181,7 @@ def _sdf_only_kernel_bf16(cfg: SDFConfig, n_mats: int, skip_idx: int,
     out_ref[:] = h * np.float32(1.0 / cfg.scale)
 
 
-def _prepare_bf16_weights(params: dict, cfg: SDFConfig):
+def _prepare_bf16_weights(params: dict, cfg: SDFConfig, keep_f32: bool = False):
     """Host-side weight surgery for the fused bf16 kernels: PE rows permuted
     into the lane-aligned layout and padded to 128; the skip layer is split
     into (W_h, W_pe); the layer feeding the skip is column-padded
@@ -226,7 +226,9 @@ def _prepare_bf16_weights(params: dict, cfg: SDFConfig):
             mats.append(w)
         biases.append(b)
 
-    mats = [jax.lax.stop_gradient(w.astype(jnp.bfloat16)) for w in mats]
+    if not keep_f32:
+        mats = [w.astype(jnp.bfloat16) for w in mats]
+    mats = [jax.lax.stop_gradient(w) for w in mats]
     biases = [jax.lax.stop_gradient(b) for b in biases]
     return mats, biases, skip_idx
 
@@ -286,6 +288,139 @@ def make_pallas_sdf_only_bf16_fn(params: dict, cfg: SDFConfig = SDFConfig(),
                                                + (n_mats - 2) * cfg.d_hidden)),
             interpret=interpret,
         )(xf, *mats, *biases)
+        return out[:n, 0].reshape(shape)
+
+    return fwd
+
+
+def _split_hi_lo(h):
+    hi = h.astype(jnp.bfloat16)
+    lo = (h - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _fused_sdf_panel_3pass(x, Whi, Wlo, b_refs, cfg: SDFConfig, skip_idx: int):
+    """f32-class fused PE + SDF MLP body via hi/lo bf16 splits
+    (BENCH_NOTES roadmap 7): h @ W ~ hi@Whi + hi@Wlo + lo@Whi, dropping
+    the O(2^-32) lo@Wlo term — same error class as XLA HIGH (bf16x3),
+    ~1.8e-4 max SDF error, good enough for the accurate refine/bisection/
+    edge-side trace paths (threshold 5e-5 resolves because errors are
+    smooth in x; the round-level comparisons are relative).  Same
+    concat-free panel layout as the bf16 kernel."""
+    n_mats = len(Whi)
+    m = cfg.multires
+    d = cfg.d_in
+    x = x * np.float32(cfg.scale)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, _PE_WIDTH), 1)
+    n_feat = d + 2 * d * m
+    is_sin = (col >= d) & (col < d + d * m)
+    is_cos = (col >= d + d * m) & (col < n_feat)
+    in_pe = is_sin | is_cos
+    k_idx = jnp.where(is_sin, (col - d) // d,
+                      jnp.where(is_cos, (col - d - d * m) // d, 0))
+    scale = jnp.where(col < n_feat, jnp.exp2(k_idx.astype(jnp.float32)), 0.0)
+    scale = jnp.where(col < d, 1.0, scale)
+    c_idx = jnp.where(in_pe, (col - d) % d, jnp.where(col < d, col, 0))
+    a = jnp.zeros((x.shape[0], _PE_WIDTH), jnp.float32)
+    for j in range(d):
+        a = a + jnp.where(c_idx == j, x[:, j:j + 1], 0.0)
+    a = a * scale
+    feats = jnp.where(is_sin, jnp.sin(a), jnp.where(is_cos, jnp.cos(a), a))
+    f_hi, f_lo = _split_hi_lo(feats)
+
+    def mm3(hhi, hlo, li):
+        return (jnp.dot(hhi, Whi[li][:], preferred_element_type=jnp.float32)
+                + jnp.dot(hhi, Wlo[li][:], preferred_element_type=jnp.float32)
+                + jnp.dot(hlo, Whi[li][:], preferred_element_type=jnp.float32))
+
+    inv_sqrt2 = np.float32(1.0 / np.sqrt(2))
+    h_hi, h_lo = f_hi, f_lo
+    li = 0
+    bi = 0
+    n_layers = n_mats - 1
+    for l in range(n_layers):
+        if l == skip_idx:
+            acc = (mm3(h_hi, h_lo, li) + mm3(f_hi, f_lo, li + 1)) * inv_sqrt2
+            li += 2
+        else:
+            acc = mm3(h_hi, h_lo, li)
+            li += 1
+        acc = acc + b_refs[bi][:]
+        bi += 1
+        if l < n_layers - 1:
+            h = jax.nn.softplus(100.0 * acc) / 100.0
+            h_hi, h_lo = _split_hi_lo(h)
+        else:
+            h = acc
+    return h
+
+
+def _sdf_only_kernel_3pass(cfg: SDFConfig, n_mats: int, skip_idx: int,
+                           x_ref, *refs):
+    Whi = refs[:n_mats]
+    Wlo = refs[n_mats:2 * n_mats]
+    b_refs = refs[2 * n_mats:len(refs) - 1]
+    out_ref = refs[-1]
+    h = _fused_sdf_panel_3pass(x_ref[:], Whi, Wlo, b_refs, cfg, skip_idx)
+    out_ref[:] = h * np.float32(1.0 / cfg.scale)
+
+
+def _prepare_3pass_weights(params: dict, cfg: SDFConfig):
+    """Hi/lo bf16 splits of the padded/permuted f32 weight layout."""
+    mats_f32, biases, skip_idx = _prepare_bf16_weights(params, cfg,
+                                                       keep_f32=True)
+    Whi = [jax.lax.stop_gradient(w.astype(jnp.bfloat16)) for w in mats_f32]
+    Wlo = [jax.lax.stop_gradient(
+        (w - w.astype(jnp.bfloat16).astype(jnp.float32)).astype(jnp.bfloat16))
+        for w in mats_f32]
+    return Whi, Wlo, biases, skip_idx
+
+
+def make_pallas_sdf_only_3pass_fn(params: dict, cfg: SDFConfig = SDFConfig(),
+                                  tile: int = 1024, interpret: bool = False):
+    """Returns sdf(x [..., 3]) -> [...] at trace ('high') precision via the
+    hi/lo-split fused kernel — the accurate-path counterpart of
+    `make_pallas_sdf_only_bf16_fn` for refine/bisection/edge-side traces
+    (Stage2Config.trace_pallas)."""
+    Whi, Wlo, biases, skip_idx = _prepare_3pass_weights(params, cfg)
+    n_mats = len(Whi)
+
+    kern = functools.partial(_sdf_only_kernel_3pass, cfg, n_mats, skip_idx)
+    flops_per_row = 3 * 2 * sum(int(w.shape[0]) * int(w.shape[1]) for w in Whi)
+
+    def fwd(x):
+        x = jax.lax.stop_gradient(x)
+        shape = x.shape[:-1]
+        xf = x.reshape(-1, 3)
+        n = xf.shape[0]
+        t = min(tile, max(128, -(-n // 128) * 128))
+        pad = (-n) % t
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        grid = (xf.shape[0] // t,)
+
+        in_specs = [pl.BlockSpec((t, 3), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        for w in Whi + Wlo:
+            in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        for b in biases:
+            in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,),
+                                         memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((t, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((xf.shape[0], 128), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_row * xf.shape[0],
+                bytes_accessed=xf.shape[0] * (3 + 128) * 4,
+                transcendentals=xf.shape[0] * (2 * 3 * cfg.multires
+                                               + (n_mats - 2) * cfg.d_hidden)),
+            interpret=interpret,
+        )(xf, *Whi, *Wlo, *biases)
         return out[:n, 0].reshape(shape)
 
     return fwd

@@ -99,6 +99,14 @@ class Stage2Config:
     # (+1.6%, within tunnel variance but consistently non-regressing) —
     # on by default; no-op off-TPU (pallas_available() gate).
     shade_pallas: bool = True
+    # run the accurate no-grad trace paths (refine/bisection/fallback/
+    # edge-side traces — everything that consumes trace_sdf_fn) through
+    # the hi/lo-split fused Pallas kernel (kernels/fused_sdf.py
+    # make_pallas_sdf_only_3pass_fn, BENCH_NOTES roadmap 7): same error
+    # class as the XLA HIGH path it replaces (~1.8e-4), weights resident
+    # in VMEM.  Off by default pending the on-chip win measurement
+    # (scripts/bench_trace_pallas.py).
+    trace_pallas: bool = False
     # run the stage-2 material-net sweeps (9 MLPs on the comp path) in
     # bf16 with f32 weight-norm + f32 BRDF math (BENCH_NOTES roadmap 6).
     # Exactness bound: bf16 activations carry ~3 decimal digits; albedo/
@@ -211,6 +219,12 @@ def build_stage2_fns(params, mat_cfgs, cfg: Stage2Config) -> Dict:
     trace_cfg = _dc.replace(cfg.sdf, precision=cfg.trace_precision)
     out["trace_sdf_fn"] = lambda p: sdf_only(params["sdf"], p, trace_cfg)
     out["trace_sdf_all_fn"] = lambda p: sdf_value_feat_grad(params["sdf"], p, trace_cfg)
+    if cfg.trace_pallas and _tpu_backend():
+        from iron_tpu.kernels.fused_sdf import (make_pallas_sdf_only_3pass_fn,
+                                                pallas_available)
+        if pallas_available():
+            out["trace_sdf_fn"] = make_pallas_sdf_only_3pass_fn(
+                params["sdf"], cfg.sdf)
     # matmul precision only differs in cost on TPU (CPU runs f32 regardless),
     # so the coarse march would just double the compiled program there
     if cfg.coarse_trace_precision is not None and _tpu_backend():

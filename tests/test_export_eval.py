@@ -158,3 +158,24 @@ def test_smart_uv_unwrap_quality():
     double = (cover > 1).sum()
     assert covered > 0
     assert double / covered < 0.01, (double, covered)
+
+
+def test_orient_faces_consistent_outward():
+    """orient_faces must fix the native marching-tet's mixed winding
+    (measured 56/44 outward/inward on a sphere) to 100% outward."""
+    from iron_tpu.export.mesh import extract_geometry, largest_component, orient_faces
+    import jax.numpy as jnp
+
+    v, t = extract_geometry(lambda p: -(jnp.linalg.norm(p, axis=-1) - 0.5),
+                            resolution=40)
+    v, t = largest_component(v, t)
+    t2 = orient_faces(v, t)
+    verts = np.asarray(v)
+    p0, p1, p2 = verts[t2[:, 0]], verts[t2[:, 1]], verts[t2[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    c = (p0 + p1 + p2) / 3
+    d = np.sum(fn * c, axis=1)  # outward test for a star-shaped surface
+    assert (d > 0).mean() == 1.0
+    # sdf-guided variant agrees
+    t3 = orient_faces(v, t, sdf_fn=lambda p: np.linalg.norm(p, axis=-1) - 0.5)
+    assert np.array_equal(t2, t3)
