@@ -40,10 +40,13 @@ def save_checkpoint(out_dir: str, step: int, params: Any, opt_state: Any = None,
 
 
 def latest_checkpoint(out_dir: str) -> Optional[str]:
-    paths = glob.glob(os.path.join(out_dir, "ckpt_*.pkl"))
+    # numbered checkpoints only: ckpt_best.pkl (Stage2Trainer model
+    # selection) is a selection artifact, not a resume point
+    paths = [p for p in glob.glob(os.path.join(out_dir, "ckpt_*.pkl"))
+             if re.search(r"ckpt_(\d+)\.pkl$", p)]
     if not paths:
         return None
-    step_of = lambda p: int(re.search(r"ckpt_(\d+)\.pkl", p).group(1))
+    step_of = lambda p: int(re.search(r"ckpt_(\d+)\.pkl$", p).group(1))
     return max(paths, key=step_of)
 
 

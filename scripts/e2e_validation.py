@@ -292,8 +292,10 @@ def main():
         ck = _pickle.load(open(s1_cks[-1], "rb"))
         traj["stage1_final"] = _chamfer_of(ck["params"]["sdf"])
     for pth in sorted(_glob.glob(os.path.join(args.out_dir, "stage2", "ckpt_*.pkl"))):
-        ck = _pickle.load(open(pth, "rb"))
         step = os.path.basename(pth).split("_")[-1].split(".")[0]
+        if not step.isdigit():
+            continue  # ckpt_best.pkl — reported separately below
+        ck = _pickle.load(open(pth, "rb"))
         traj[f"stage2_{int(step)}"] = _chamfer_of(ck["params"]["sdf"])
     report["chamfer_trajectory"] = traj
     print(f"[geometry] trajectory {traj}", flush=True)

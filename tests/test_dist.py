@@ -17,6 +17,10 @@ from iron_tpu.surface.render import SurfaceRenderConfig
 from iron_tpu.data.synthetic import render_synthetic_dataset
 from iron_tpu.data.dataset import RayDataset
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _need_devices(n):
     if len(jax.devices()) < n:

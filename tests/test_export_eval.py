@@ -12,6 +12,10 @@ from iron_tpu.export.uv import grid_uv_unwrap, unwrap_obj
 from iron_tpu.export.materials import export_materials, sample_surface
 from iron_tpu.eval.metrics import chamfer_distance, psnr_np, ssim_np
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _sphere_sdf(p):
     return jnp.linalg.norm(p, axis=-1) - 0.5

@@ -9,6 +9,10 @@ from iron_tpu.fields.hashgrid import (HashGridConfig, init_hashgrid, hashgrid_en
                                       hash_sdf_only, hash_sdf_value_feat_grad,
                                       HashNeRFConfig, init_hash_nerf, hash_nerf_apply)
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _small_grid():
     return HashGridConfig(n_levels=4, n_features_per_level=2,

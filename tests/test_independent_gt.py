@@ -15,6 +15,10 @@ from iron_tpu.eval.independent_gt import (render_independent_dataset,
                                           render_view_np, mesh_scene_np,
                                           SCENES_NP, ggx_colocated_np)
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _psnr(a, b, mask=None):
     if mask is not None:

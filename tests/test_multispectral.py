@@ -11,6 +11,10 @@ from iron_tpu.train.stage1_multispectral import (MultiSpectralConfig,
                                                  MultiSpectralStage1Trainer)
 from iron_tpu.volume.integrator import NeuSRenderConfig
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _datasets():
     rgb = render_synthetic_dataset("sphere", n_views=3, H=32, W=32, light=30.0)

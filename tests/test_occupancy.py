@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from iron_tpu.volume.occupancy import (OccupancyGridConfig, update_occupancy_grid,
                                        occupancy_lookup, occupancy_guided_z)
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _sphere(r=0.5):
     return lambda p: jnp.linalg.norm(p, axis=-1) - r

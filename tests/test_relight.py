@@ -14,6 +14,10 @@ from iron_tpu.export.materials import export_materials
 from iron_tpu.eval.relight import render_mesh_flash
 from iron_tpu.native import ray_mesh_intersect
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _cam(H=64, W=64, f=80.0, z=3.0):
     K = np.eye(4, dtype=np.float32)

@@ -11,6 +11,10 @@ from iron_tpu.fields.sdf import sdf_only
 from iron_tpu.train.stage1 import Stage1Config, Stage1Trainer
 from iron_tpu.volume.integrator import NeuSRenderConfig
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_stage1_learns_sphere(tmp_path):

@@ -11,6 +11,10 @@ from iron_tpu.train.stage2 import (Stage2Config, Stage2Trainer, init_stage2_para
 from iron_tpu.train.checkpoints import stage1_to_stage2
 from iron_tpu.train.stage1 import Stage1Config, init_stage1_params
 
+# slow tier (VERDICT r4 item 10): integration/training/8-device tests;
+# run with `pytest -m slow` or `-m ""`
+pytestmark = pytest.mark.slow
+
 
 def _small_cfg(renderer="ggx", ps=32, edges=True):
     from iron_tpu.surface.tracer import TracerConfig
