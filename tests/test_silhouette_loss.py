@@ -138,3 +138,33 @@ def test_silhouette_term_zero_when_masks_agree():
     sil = _silhouette_term(f, res, cfg, gt, miss, excess, mn, mx)
     assert float(n_miss) == 0 and float(n_excess) == 0
     assert float(sil) == 0.0
+
+
+def test_stage2_val_fn_best_checkpoint_retention(tmp_path):
+    """Stage2Trainer.run(val_fn=...) must retain the best-metric params as
+    ckpt_best.pkl and leave numbered-checkpoint resume unaffected
+    (VERDICT r4 item 8)."""
+    import pickle
+    from iron_tpu.data.synthetic import render_synthetic_dataset
+    from iron_tpu.train.stage2 import Stage2Trainer
+    from iron_tpu.train.checkpoints import latest_checkpoint
+    from iron_tpu.surface.tracer import TracerConfig
+
+    data = render_synthetic_dataset("sphere", n_views=2, H=32, W=32, light=30.0)
+    cfg = Stage2Config(patch_size=16, renderer_name="ggx", save_freq=4,
+                       surface=SurfaceRenderConfig(
+                           handle_edges=False, fill_holes=False,
+                           tracer=TracerConfig(sphere_tracing_iters=8,
+                                               dense_iters=4,
+                                               fallback_budget=32)))
+    tr = Stage2Trainer(cfg, data["images"], data["Ks"], data["W2Cs"],
+                       out_dir=str(tmp_path))
+    # scripted validation metric: peaks at step 8, declines after
+    scores = {4: 1.0, 8: 3.0, 12: 2.0}
+    tr.run(num_iters=12, val_fn=lambda t: scores[t.step], val_every=4)
+    assert tr.best_step == 8
+    assert [v["step"] for v in tr.val_history] == [4, 8, 12]
+    best = pickle.load(open(tmp_path / "ckpt_best.pkl", "rb"))
+    assert best["step"] == 8
+    # numbered-checkpoint scan ignores ckpt_best.pkl
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_0000012.pkl")
