@@ -48,8 +48,12 @@ def main(argv=None):
     p.add_argument("--use_mask", action="store_true")
     p.add_argument("--silhouette_weight", type=float, default=0.0,
                    help="IDR-style silhouette counterweight to the masked-"
-                        "loss shrink bias (needs --use_mask; 0 = reference "
-                        "parity, the reference has no stage-2 mask loss)")
+                        "loss drift (needs --use_mask; 0 = reference "
+                        "parity, the reference has no stage-2 mask loss). "
+                        "RECOMMENDED 0.3 whenever masks exist: the round-5 "
+                        "full-schedule A/B measured torus chamfer 0.0147 vs "
+                        "0.0519 and +2.3 dB held-out PSNR at unchanged "
+                        "throughput (results/quality_torus_r5_*.json)")
     p.add_argument("--plot_image_name", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sync_ckpt", action="store_true",

@@ -93,7 +93,14 @@ def smart_uv_unwrap(verts: np.ndarray, tris: np.ndarray,
     w0, w1, w2 = verts[tris_o[:, 0]], verts[tris_o[:, 1]], verts[tris_o[:, 2]]
     fn = np.cross(w1 - w0, w2 - w0)
     area2 = np.linalg.norm(fn, axis=1)
+    # degenerate (zero-area) faces — marching cubes emits them when grid
+    # vertices coincide — get a dummy +z normal: a zero seed normal would
+    # produce a NaN projection basis, and one NaN chart bbox poisons the
+    # global packing scale (every uv NaN — caught on the 256^3 torus
+    # export, round 5)
+    degenerate = area2 < 1e-16
     fn = fn / np.clip(area2[:, None], 1e-20, None)
+    fn[degenerate] = np.array([0.0, 0.0, 1.0])
     cos_lim = np.cos(np.deg2rad(angle_limit_deg))
 
     adj = _face_adjacency(tris)
@@ -128,8 +135,12 @@ def smart_uv_unwrap(verts: np.ndarray, tris: np.ndarray,
         # orthonormal basis of the projection plane
         h = np.array([1.0, 0.0, 0.0]) if abs(n0[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
         bu = np.cross(n0, h)
-        bu /= np.linalg.norm(bu)
-        bv = np.cross(n0, bu)
+        nb = np.linalg.norm(bu)
+        if nb < 1e-12:                          # belt & braces vs NaN basis
+            bu, bv = np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0])
+        else:
+            bu = bu / nb
+            bv = np.cross(n0, bu)
         corners = verts[tris[members]]          # [Tc, 3, 3]
         uv = np.stack([corners @ bu, corners @ bv], axis=-1)  # [Tc, 3, 2]
         # rotate to the minimum-area bounding box (exhaustive over 64
@@ -195,6 +206,8 @@ def smart_uv_unwrap(verts: np.ndarray, tris: np.ndarray,
     for ci, (members, _) in enumerate(charts):
         uv = chart_uv[ci] * scale + pos[ci]
         uvs[tri_uvs[members].reshape(-1)] = uv.reshape(-1, 2).astype(np.float32)
+    if not np.isfinite(uvs).all():   # fail loudly, never bake black atlases
+        raise RuntimeError("smart_uv_unwrap produced non-finite uvs")
     return uvs, tri_uvs
 
 

@@ -183,3 +183,23 @@ def test_orient_faces_consistent_outward():
     # sdf-guided variant agrees
     t3 = orient_faces(v, t, sdf_fn=lambda p: np.linalg.norm(p, axis=-1) - 0.5)
     assert np.array_equal(t2, t3)
+
+
+def test_smart_uv_unwrap_survives_degenerate_faces():
+    """Zero-area triangles (marching cubes emits them when grid vertices
+    coincide) must not poison the packing scale with NaNs — the 256^3
+    torus export produced all-NaN uvs and silently black baked atlases
+    (round-5 relight bug)."""
+    from iron_tpu.export.uv import smart_uv_unwrap, packing_efficiency
+    from iron_tpu.export.mesh import extract_geometry, largest_component
+    import jax.numpy as jnp
+
+    v, t = extract_geometry(lambda p: -(jnp.linalg.norm(p, axis=-1) - 0.5),
+                            resolution=24)
+    v, t = largest_component(v, t)
+    # inject degenerate faces: repeat a vertex
+    t = np.concatenate([t, np.array([[t[0, 0], t[0, 0], t[0, 1]],
+                                     [t[5, 2], t[5, 2], t[5, 2]]])], axis=0)
+    uvs, tuv = smart_uv_unwrap(v, t)
+    assert np.isfinite(uvs).all()
+    assert packing_efficiency(uvs, tuv) > 0.3
