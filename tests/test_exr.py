@@ -49,3 +49,35 @@ def test_io_factory_exr_gamma(tmp_path):
     np.testing.assert_allclose(lin, img, atol=2e-3)  # half precision
     gam = read_image(p, apply_exr_gamma=True)
     np.testing.assert_allclose(gam, np.power(lin + 1e-6, 1 / 2.2), atol=1e-6)
+
+
+def test_load_image_folder_exr_capture(tmp_path):
+    """A reference-format capture folder holding EXR HDR images loads
+    through the standard folder loader with the 1/2.2 read gamma
+    (dataset.py:53-58 semantics) — the real-capture HDR path."""
+    import json
+    from iron_tpu.data.exr import write_exr
+    from iron_tpu.data.dataset import load_image_folder
+
+    img_dir = tmp_path / "image"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    cam = {}
+    K = np.eye(4); K[0, 0] = K[1, 1] = 20.0; K[0, 2] = K[1, 2] = 8.0
+    W2C = np.eye(4); W2C[2, 3] = 3.0
+    imgs = []
+    for i in range(2):
+        img = rng.uniform(0, 2.0, (16, 16, 3)).astype(np.float32)  # HDR range
+        imgs.append(img)
+        write_exr(str(img_dir / f"{i:05d}.exr"), img, half=False)
+        cam[f"{i:05d}.exr"] = {"K": K.flatten().tolist(),
+                               "W2C": W2C.flatten().tolist(),
+                               "img_size": [16, 16]}
+    (tmp_path / "cam_dict_norm.json").write_text(json.dumps(cam))
+
+    fpaths, images, Ks, W2Cs, masks = load_image_folder(str(tmp_path))
+    assert len(fpaths) == 2 and images.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(
+        images[0], np.power(np.clip(imgs[0], 0, None) + 1e-6, 1 / 2.2),
+        atol=1e-5)
+    np.testing.assert_allclose(Ks[0], K, atol=1e-6)
